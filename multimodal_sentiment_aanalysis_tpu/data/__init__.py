@@ -1,0 +1,28 @@
+from .raw import RawData, make_synthetic_hci_data, save_pickle
+from .features import DataFeatures, assemble_features, zscore_normalize
+from .splits import (
+    loso_split,
+    subject_holdout_split,
+    per_subject_count_split,
+    kfold_split,
+    binary_label_filter,
+)
+from .pairs import build_contrastive_pairs
+from .pipeline import DeviceDataset, epoch_batch_indices
+
+__all__ = [
+    "RawData",
+    "make_synthetic_hci_data",
+    "save_pickle",
+    "DataFeatures",
+    "assemble_features",
+    "zscore_normalize",
+    "loso_split",
+    "subject_holdout_split",
+    "per_subject_count_split",
+    "kfold_split",
+    "binary_label_filter",
+    "build_contrastive_pairs",
+    "DeviceDataset",
+    "epoch_batch_indices",
+]

@@ -1,0 +1,36 @@
+from .layers import (
+    PositionalEncoding,
+    MultiheadAttention,
+    TransformerEncoderLayer,
+    TransformerEncoder,
+)
+from .eeg import EEGMultiScaleNet
+from .subnetwork import Subnetwork
+from .cross_modal import CrossModalTransformer
+from .fusion_model import MultimodalTransformerModel
+from .simclr import (
+    EyeMLPNet,
+    PPSMLPNet,
+    MultiModalEncoder,
+    ProjectionHead,
+    Classifier,
+)
+from .memhacl import MEMHACLEncoder, MEMHACLClassifier
+
+__all__ = [
+    "PositionalEncoding",
+    "MultiheadAttention",
+    "TransformerEncoderLayer",
+    "TransformerEncoder",
+    "EEGMultiScaleNet",
+    "Subnetwork",
+    "CrossModalTransformer",
+    "MultimodalTransformerModel",
+    "EyeMLPNet",
+    "PPSMLPNet",
+    "MultiModalEncoder",
+    "ProjectionHead",
+    "Classifier",
+    "MEMHACLEncoder",
+    "MEMHACLClassifier",
+]

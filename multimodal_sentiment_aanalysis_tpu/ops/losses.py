@@ -1,0 +1,147 @@
+"""Loss functions.
+
+The reference has three distinct contrastive formulations; all are
+reproduced with identical numerics (they differ in masking and
+normalization, which changes gradients):
+
+- :func:`supervised_infonce` — in-model supervised InfoNCE over one batch
+  (reference ``MultimodalModel.py:232-260``)
+- :func:`ntxent_supervised_two_view` — two-view label-supervised NT-Xent
+  (reference ``train.py:16-40``)
+- :func:`ntxent_indexed` — canonical index-matched NT-Xent
+  (reference ``ME-MHACL/train.py:47-66``)
+
+Plus masked cross-entropy/accuracy for the static-shape padded batches the
+device pipeline produces.
+
+All losses are pure jnp and fully fusable by XLA; a Pallas fused variant of
+:func:`supervised_infonce` lives in ``kernels/contrastive.py`` with an A/B
+numerics test.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """Matches torch F.normalize: x / max(||x||, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def supervised_infonce(
+    feat1: jnp.ndarray,
+    feat2: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: jnp.ndarray | float,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Supervised InfoNCE with learnable temperature.
+
+    Numerics of reference ``MultimodalModel.py:232-260``: L2-normalize both
+    feature sets, similarity matrix divided by temperature, positive mask by
+    label equality with zeroed diagonal, row-max subtraction, then
+    ``-log((pos + 1e-12) / (all + 1e-12))`` averaged.
+
+    ``mask`` (optional, (B,) 0/1) excludes padded rows/columns — padded
+    entries contribute nothing to positives or the denominator, and the mean
+    runs over real rows only.
+    """
+    f1 = _l2_normalize(feat1, axis=1)
+    f2 = _l2_normalize(feat2, axis=1)
+    sim = (f1 @ f2.T) / temperature
+
+    pos_mask = (labels[:, None] == labels[None, :]).astype(sim.dtype)
+    n = sim.shape[0]
+    eye = jnp.eye(n, dtype=sim.dtype)
+    pos_mask = pos_mask * (1.0 - eye)
+
+    if mask is not None:
+        valid = mask.astype(sim.dtype)
+        pos_mask = pos_mask * valid[:, None] * valid[None, :]
+        # padded columns leave the denominator: push them to -1e30 so the
+        # row-max stays finite and their exp underflows to exactly 0
+        sim = jnp.where(valid[None, :] > 0, sim, -1e30)
+
+    sim = sim - jnp.max(sim, axis=1, keepdims=True)
+    exp_sim = jnp.exp(sim)
+    pos_sim = (exp_sim * pos_mask).sum(1)
+    all_sim = exp_sim.sum(1)
+    loss = -jnp.log((pos_sim + 1e-12) / (all_sim + 1e-12))
+    if mask is not None:
+        valid = mask.astype(loss.dtype)
+        return (loss * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+    return loss.mean()
+
+
+def ntxent_supervised_two_view(
+    z1: jnp.ndarray,
+    z2: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: float = 0.1,
+) -> jnp.ndarray:
+    """Two-view supervised NT-Xent.
+
+    Numerics of reference ``train.py:16-40``: concat views into 2B rows,
+    2B x 2B similarity, label-equality mask minus self, denominator is the
+    self-masked exp-sum, per-row mean log-prob over positives.
+    """
+    z1 = _l2_normalize(z1, axis=1)
+    z2 = _l2_normalize(z2, axis=1)
+    z = jnp.concatenate([z1, z2], axis=0)
+    sim = (z @ z.T) / temperature
+
+    lab = jnp.concatenate([labels.reshape(-1), labels.reshape(-1)], axis=0)
+    mask = (lab[:, None] == lab[None, :]).astype(sim.dtype)
+    self_mask = jnp.eye(sim.shape[0], dtype=bool)
+    mask = jnp.where(self_mask, 0.0, mask)
+
+    sim_exp = jnp.where(self_mask, 0.0, jnp.exp(sim))
+    sim_sum = sim_exp.sum(axis=1, keepdims=True)
+    log_prob = sim - jnp.log(sim_sum + 1e-8)
+    loss = -(mask * log_prob).sum(axis=1) / (mask.sum(axis=1) + 1e-8)
+    return loss.mean()
+
+
+def ntxent_indexed(
+    z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.5
+) -> jnp.ndarray:
+    """Canonical SimCLR NT-Xent (index-matched positives).
+
+    Numerics of reference ``ME-MHACL/train.py:47-66``: normalize the 2N stack,
+    self-similarity masked to -9e15, CE against the paired index.
+    """
+    b = z1.shape[0]
+    z = jnp.concatenate([z1, z2], axis=0)
+    z = _l2_normalize(z, axis=1)
+    sim = z @ z.T
+    self_mask = jnp.eye(2 * b, dtype=bool)
+    sim = jnp.where(self_mask, -9e15, sim)
+    sim = sim / temperature
+    targets = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(0, b)])
+    return optax.softmax_cross_entropy_with_integer_labels(sim, targets).mean()
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE over the batch (torch nn.CrossEntropyLoss parity)."""
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def masked_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """CE averaged over valid (mask==1) rows; padding contributes nothing."""
+    per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    m = mask.astype(per.dtype)
+    return (per * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def masked_accuracy(
+    logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    pred = jnp.argmax(logits, axis=-1)
+    hit = (pred == labels).astype(jnp.float32) * mask.astype(jnp.float32)
+    return hit.sum() / jnp.maximum(mask.sum(), 1.0)

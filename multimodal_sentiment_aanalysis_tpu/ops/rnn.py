@@ -1,0 +1,125 @@
+"""LSTM primitives with PyTorch-parity numerics, TPU-optimized.
+
+The reference EEG stem ends in a 2-layer bidirectional LSTM
+(``MultimodalModel.py:49-55``). On TPU the recurrence is the one genuinely
+sequential piece of the model (SURVEY.md §7 "hard parts"), so it is built to
+minimize per-step work:
+
+- the input projection ``x_t @ W_ih^T + b`` for *all* timesteps is hoisted out
+  of the scan into one large (B*T, I) x (I, 4H) matmul that XLA tiles onto the
+  MXU;
+- the ``lax.scan`` body only carries the (B, H) recurrent matmul + gate
+  elementwise ops;
+- both directions of a bidirectional layer share one scan via stacking, so a
+  BiLSTM costs one recurrence, not two.
+
+Gate layout matches torch (i, f, g, o) so parameters map 1:1 to
+``nn.LSTM.weight_ih_l{k}(_reverse)`` for the parity tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _lstm_scan(
+    x_proj: jnp.ndarray,  # (T, B, 4H) precomputed input projections (+biases)
+    w_hh: jnp.ndarray,  # (4H, H) torch layout
+    h0: jnp.ndarray,  # (B, H)
+    c0: jnp.ndarray,  # (B, H)
+) -> jnp.ndarray:
+    hidden = w_hh.shape[1]
+
+    def step(carry, xp):
+        h, c = carry
+        gates = xp + h @ w_hh.T
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (_, _), hs = jax.lax.scan(step, (h0, c0), x_proj)
+    return hs  # (T, B, H)
+
+
+def lstm(
+    x: jnp.ndarray,  # (B, T, I)
+    w_ih: jnp.ndarray,  # (4H, I)
+    w_hh: jnp.ndarray,  # (4H, H)
+    b_ih: jnp.ndarray,  # (4H,)
+    b_hh: jnp.ndarray,  # (4H,)
+    reverse: bool = False,
+) -> jnp.ndarray:
+    """Single-direction LSTM layer; returns the full hidden sequence (B, T, H)."""
+    if reverse:
+        x = jnp.flip(x, axis=1)
+    b, t, _ = x.shape
+    hidden = w_hh.shape[1]
+    x_proj = x @ w_ih.T + (b_ih + b_hh)  # hoisted MXU matmul over all steps
+    x_proj = jnp.transpose(x_proj, (1, 0, 2))  # (T, B, 4H)
+    h0 = jnp.zeros((b, hidden), x.dtype)
+    hs = _lstm_scan(x_proj, w_hh, h0, h0)
+    hs = jnp.transpose(hs, (1, 0, 2))
+    if reverse:
+        hs = jnp.flip(hs, axis=1)
+    return hs
+
+
+def bilstm_layer(
+    x: jnp.ndarray,
+    fwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    bwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+) -> jnp.ndarray:
+    """Bidirectional layer: both directions fused into ONE lax.scan.
+
+    The reverse direction is expressed as the forward recurrence over the
+    flipped sequence; stacking the two directions along a leading axis lets a
+    single scan carry a (2, B, H) state, halving scan overhead vs two scans.
+    Output is (B, T, 2H) with torch's [forward, backward] concat order.
+    """
+    b, t, _ = x.shape
+    (wif, whf, bif, bhf) = fwd
+    (wib, whb, bib, bhb) = bwd
+    hidden = whf.shape[1]
+
+    xf = x @ wif.T + (bif + bhf)  # (B, T, 4H)
+    xb = jnp.flip(x, axis=1) @ wib.T + (bib + bhb)
+    # stack directions: (T, 2, B, 4H)
+    xp = jnp.stack(
+        [jnp.transpose(xf, (1, 0, 2)), jnp.transpose(xb, (1, 0, 2))], axis=1
+    )
+    w_hh = jnp.stack([whf, whb])  # (2, 4H, H)
+
+    def step(carry, xpt):
+        h, c = carry  # (2, B, H)
+        gates = xpt + jnp.einsum("dbh,dgh->dbg", h, w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    h0 = jnp.zeros((2, b, hidden), x.dtype)
+    (_, _), hs = jax.lax.scan(step, (h0, h0), xp)  # (T, 2, B, H)
+    h_fwd = jnp.transpose(hs[:, 0], (1, 0, 2))
+    h_bwd = jnp.flip(jnp.transpose(hs[:, 1], (1, 0, 2)), axis=1)
+    return jnp.concatenate([h_fwd, h_bwd], axis=-1)
+
+
+def bilstm_stack(
+    x: jnp.ndarray, layers: list[dict[str, jnp.ndarray]]
+) -> jnp.ndarray:
+    """Multi-layer BiLSTM (torch ``nn.LSTM(num_layers=n, bidirectional=True)``).
+
+    ``layers[k]`` holds keys ``w_ih_fwd, w_hh_fwd, b_ih_fwd, b_hh_fwd`` and the
+    ``_bwd`` counterparts, in torch shapes. Layer k>0 consumes the (B, T, 2H)
+    concat of layer k-1 (torch semantics, dropout=0 default).
+    """
+    out = x
+    for p in layers:
+        out = bilstm_layer(
+            out,
+            (p["w_ih_fwd"], p["w_hh_fwd"], p["b_ih_fwd"], p["b_hh_fwd"]),
+            (p["w_ih_bwd"], p["w_hh_bwd"], p["b_ih_bwd"], p["b_hh_bwd"]),
+        )
+    return out

@@ -1,0 +1,49 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so every sharding/collective path is
+exercised without TPU hardware (SURVEY.md §4). Env vars must be set before
+jax initializes its backends, hence the top-of-module placement.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def hci_data():
+    from multimodal_sentiment_aanalysis_tpu.data import make_synthetic_hci_data
+
+    return make_synthetic_hci_data(seed=42)
+
+
+@pytest.fixture(scope="session")
+def hci_pickle(tmp_path_factory, hci_data):
+    from multimodal_sentiment_aanalysis_tpu.data import save_pickle
+
+    path = tmp_path_factory.mktemp("data") / "hci_data.pkl"
+    save_pickle(hci_data, str(path))
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def assembled(hci_data):
+    from multimodal_sentiment_aanalysis_tpu.data import assemble_features
+
+    feats, label = assemble_features(
+        hci_data, ["eeg", "eye", "pps"], norm="Z_score", label_type="arousal"
+    )
+    return feats, label
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
