@@ -1,0 +1,15 @@
+from .state import TrainState, module_mask, zero_masked_grads
+from .multitask import MultiTaskTrainer, PHASES
+from .engine import Trainer
+from .simclr import contrastive_pretrain, finetune
+
+__all__ = [
+    "TrainState",
+    "module_mask",
+    "zero_masked_grads",
+    "MultiTaskTrainer",
+    "PHASES",
+    "Trainer",
+    "contrastive_pretrain",
+    "finetune",
+]

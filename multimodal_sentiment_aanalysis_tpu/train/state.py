@@ -1,0 +1,106 @@
+"""Train state + parameter partitioning.
+
+The reference freezes/unfreezes torch submodules with ``requires_grad`` flags
+and per-phase optimizers (``dataLoader/MultiTaskTrainer.py:50-177``). The JAX
+equivalent is parameter partitioning over the param pytree:
+
+- ``module_mask(params, names)`` builds a boolean pytree selecting top-level
+  submodules — the analog of a ``requires_grad`` set;
+- ``zero_masked_grads`` zeroes gradients outside a mask *before* global-norm
+  clipping, mirroring torch where frozen params have no ``.grad`` and
+  therefore don't contribute to ``clip_grad_norm_``;
+- ``optax.masked`` applies the update only to the optimizer's coverage set,
+  which in phase 3 of the curriculum is *smaller* than the requires-grad set
+  (reference ``MultiTaskTrainer.py:147-177`` unfreezes the fusion modules but
+  optimizes the valence head only) — hence the two separate masks.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    """Pure pytree train state: params + BN stats + optimizer + RNG."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jnp.ndarray  # scalar int32
+
+    @property
+    def variables(self) -> dict:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def module_mask(params: Any, module_names: set[str] | list[str]) -> Any:
+    """Boolean pytree: True for leaves under the named top-level modules.
+
+    Top-level param entries that are bare arrays (e.g. ``contrastive_weight``,
+    ``temperature``) are selected when their own name is listed.
+    """
+    names = set(module_names)
+
+    def sub(tree, selected: bool):
+        if isinstance(tree, dict):
+            return {k: sub(v, selected) for k, v in tree.items()}
+        return selected
+
+    return {k: sub(v, k in names) for k, v in params.items()}
+
+
+def zero_masked_grads(grads: Any, mask: Any) -> Any:
+    """Zero gradients where mask is False (torch frozen-param analog)."""
+    return jax.tree.map(
+        lambda g, m: g if m else jnp.zeros_like(g),
+        grads,
+        mask,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+def clip_by_global_norm(grads: Any, max_norm: float) -> tuple[Any, jnp.ndarray]:
+    """torch ``clip_grad_norm_`` semantics: scale all grads by
+    ``max_norm / max(norm, max_norm)``. Returns (clipped, global_norm)."""
+    leaves = jax.tree.leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree.map(lambda g: g * scale, grads), norm
+
+
+def make_masked_adamw(
+    update_mask: Any,
+    weight_decay: float,
+) -> optax.GradientTransformation:
+    """AdamW whose update covers only ``update_mask``; LR injected at
+    step time (changing it never recompiles, resetting moments is a cheap
+    re-init of ``opt_state``)."""
+    return optax.masked(
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=1e-4, weight_decay=weight_decay
+        ),
+        update_mask,
+    )
+
+
+def set_learning_rate(opt_state: Any, lr: float) -> Any:
+    """Functionally set the injected learning rate inside a masked/chained
+    optimizer state."""
+
+    def walk(state):
+        if isinstance(state, optax.MaskedState):
+            return optax.MaskedState(inner_state=walk(state.inner_state))
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            new_hp = dict(state.hyperparams)
+            new_hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+            return state._replace(hyperparams=new_hp)
+        return state
+
+    return walk(opt_state)

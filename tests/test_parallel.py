@@ -1,0 +1,161 @@
+"""Data-parallel tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from multimodal_sentiment_aanalysis_tpu.parallel import (
+    make_dp_train_step,
+    make_mesh,
+    pad_batch_to_devices,
+    replicate,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force an 8-device CPU mesh"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def setup(mesh):
+    """Tiny flagship model + batch + CE-arousal loss, DP vs single-device."""
+    from multimodal_sentiment_aanalysis_tpu.models import (
+        MultimodalTransformerModel,
+    )
+    from multimodal_sentiment_aanalysis_tpu.ops.losses import (
+        masked_accuracy,
+        masked_cross_entropy,
+    )
+
+    model = MultimodalTransformerModel(feat_dim=32, eeg_time=64)
+    rng = np.random.default_rng(0)
+    b = 32
+    batch = {
+        "eeg": rng.normal(size=(b, 32, 64)).astype(np.float32),
+        "eye": rng.normal(size=(b, 38)).astype(np.float32),
+        "pps": rng.normal(size=(b, 230)).astype(np.float32),
+        "arousal": rng.integers(0, 3, b).astype(np.int64),
+        "valence": rng.integers(0, 3, b).astype(np.int64),
+        "mask": np.ones(b, np.float32),
+    }
+    variables = model.init(
+        jax.random.key(0), batch["eeg"][:2], batch["eye"][:2], batch["pps"][:2]
+    )
+
+    def loss_fn(params, batch_stats, batch, key):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["eeg"], batch["eye"], batch["pps"],
+            labels=(batch["arousal"], batch["valence"], batch["mask"]),
+            train=True, mutable=["batch_stats"], rngs={"dropout": key},
+        )
+        arousal, valence, *_ = outs
+        loss = masked_cross_entropy(arousal, batch["arousal"], batch["mask"])
+        metrics = {
+            "loss": loss * batch["mask"].sum(),
+            "a_acc": masked_accuracy(arousal, batch["arousal"], batch["mask"])
+            * batch["mask"].sum(),
+            "n": batch["mask"].sum(),
+        }
+        return loss, (mutated["batch_stats"], metrics)
+
+    return model, variables, batch, loss_fn
+
+
+class TestDPStep:
+    def test_dp_step_runs_and_replicates(self, mesh, setup):
+        model, variables, batch, loss_fn = setup
+        tx = optax.adamw(1e-4)
+        opt_state = tx.init(variables["params"])
+        step = make_dp_train_step(loss_fn, tx, mesh)
+
+        params = replicate(mesh, variables["params"])
+        bs = replicate(mesh, variables.get("batch_stats", {}))
+        opt_state = replicate(mesh, opt_state)
+        sharded = shard_batch(mesh, batch)
+
+        new_params, new_bs, new_opt, metrics = step(
+            params, bs, opt_state, jax.random.key(1), sharded
+        )
+        n = float(metrics["n"])
+        assert n == 32.0
+        assert np.isfinite(float(metrics["loss"]) / n)
+        # params actually moved
+        delta = max(
+            float(jnp.abs(a - b).max())
+            for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(params))
+        )
+        assert delta > 0
+
+    def test_dp_matches_single_device_ce_grads(self, mesh, setup):
+        """DP weighted-psum of per-shard CE grads == global-batch grads.
+
+        Dropout is per-device folded, so compare with dropout disabled
+        (train=False eval apply inside a grad-only loss)."""
+        from multimodal_sentiment_aanalysis_tpu.ops.losses import (
+            masked_cross_entropy,
+        )
+
+        model, variables, batch, _ = setup
+
+        def det_loss(params, batch_stats, batch, key):
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["eeg"], batch["eye"], batch["pps"],
+                labels=(batch["arousal"], batch["valence"], batch["mask"]),
+                train=False,
+            )
+            arousal = outs[0]
+            loss = masked_cross_entropy(arousal, batch["arousal"], batch["mask"])
+            return loss, (batch_stats, {"n": batch["mask"].sum()})
+
+        tx = optax.sgd(1e-2)
+        opt_state = tx.init(variables["params"])
+        step = make_dp_train_step(det_loss, tx, mesh, clip_norm=None)
+        params_r = replicate(mesh, variables["params"])
+        bs_r = replicate(mesh, variables.get("batch_stats", {}))
+        opt_r = replicate(mesh, opt_state)
+        dp_params, *_ = step(params_r, bs_r, opt_r, jax.random.key(0), shard_batch(mesh, batch))
+
+        # single-device reference
+        grads = jax.grad(
+            lambda p: det_loss(p, variables.get("batch_stats", {}), batch, None)[0]
+        )(variables["params"])
+        updates, _ = tx.update(grads, opt_state, variables["params"])
+        ref_params = optax.apply_updates(variables["params"], updates)
+
+        for a, b in zip(jax.tree.leaves(dp_params), jax.tree.leaves(ref_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_uneven_batch_padding(self, mesh):
+        batch = {"x": jnp.arange(10.0)}
+        mask = jnp.ones(10)
+        padded, pmask = pad_batch_to_devices(batch, mask, 8)
+        assert padded["x"].shape[0] == 16
+        assert float(pmask.sum()) == 10.0
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__
+
+        fn, args = __graft_entry__.entry()
+        out = jax.jit(fn)(*args)
+        leaves = jax.tree.leaves(out)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,276 @@
+"""Training engine tests: masks, phases, NaN skip, schedules, checkpoints."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    """Flagship model with shrunk dims to keep CPU tests fast."""
+    from multimodal_sentiment_aanalysis_tpu.models import MultimodalTransformerModel
+
+    return MultimodalTransformerModel(feat_dim=32, eeg_time=64)
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    from multimodal_sentiment_aanalysis_tpu.data import DeviceDataset
+
+    rng = np.random.default_rng(0)
+    n = 48
+    labels_a = rng.integers(0, 3, n)
+    labels_v = rng.integers(0, 3, n)
+    sig = rng.normal(size=(3, 32, 64)).astype(np.float32)
+    arrays = {
+        "eeg": (rng.normal(size=(n, 32, 64)) * 0.3 + sig[labels_a]).astype(np.float32),
+        "eye": rng.normal(size=(n, 38)).astype(np.float32),
+        "pps": rng.normal(size=(n, 230)).astype(np.float32),
+        "arousal": labels_a.astype(np.int64),
+        "valence": labels_v.astype(np.int64),
+    }
+    train = DeviceDataset({k: v[:40] for k, v in arrays.items()})
+    test = DeviceDataset({k: v[40:] for k, v in arrays.items()})
+    return train, test
+
+
+class TestMasks:
+    def test_module_mask_selects_submodules(self):
+        from multimodal_sentiment_aanalysis_tpu.train import module_mask
+
+        params = {
+            "eeg_net": {"w": jnp.zeros(2), "nested": {"b": jnp.zeros(1)}},
+            "eye_net": {"w": jnp.zeros(2)},
+            "temperature": jnp.zeros(()),
+        }
+        mask = module_mask(params, {"eeg_net", "temperature"})
+        assert mask["eeg_net"]["w"] is True
+        assert mask["eeg_net"]["nested"]["b"] is True
+        assert mask["eye_net"]["w"] is False
+        assert mask["temperature"] is True
+
+    def test_zero_masked_grads(self):
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            module_mask,
+            zero_masked_grads,
+        )
+
+        grads = {"a": {"w": jnp.ones(3)}, "b": {"w": jnp.ones(3)}}
+        mask = module_mask(grads, {"a"})
+        out = zero_masked_grads(grads, mask)
+        assert float(out["a"]["w"].sum()) == 3.0
+        assert float(out["b"]["w"].sum()) == 0.0
+
+    def test_clip_matches_torch_semantics(self):
+        import torch
+
+        from multimodal_sentiment_aanalysis_tpu.train.state import (
+            clip_by_global_norm,
+        )
+
+        g = [np.random.default_rng(0).normal(size=(4, 4)).astype(np.float32)]
+        t = torch.tensor(g[0], requires_grad=True)
+        (t * 1.0).sum().backward()
+        t.grad = torch.tensor(g[0])
+        torch.nn.utils.clip_grad_norm_([t], 1.0)
+        ours, norm = clip_by_global_norm({"w": jnp.asarray(g[0])}, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(ours["w"]), t.grad.numpy(), rtol=2e-4
+        )
+
+
+class TestMultiTask:
+    @pytest.fixture(scope="class")
+    def trainer(self, tiny_model, tiny_data, tmp_path_factory):
+        from multimodal_sentiment_aanalysis_tpu.train import MultiTaskTrainer
+
+        train, test = tiny_data
+        return MultiTaskTrainer(
+            tiny_model,
+            train,
+            test,
+            batch_size=16,
+            checkpoint_dir=str(tmp_path_factory.mktemp("ckpt")),
+            verbose=False,
+        )
+
+    def test_phase_eeg_updates_only_eeg(self, trainer):
+        p_before = jax.device_get(trainer.params)
+        trainer.schedulers["eeg"] = __import__(
+            "multimodal_sentiment_aanalysis_tpu.utils.schedule",
+            fromlist=["ReduceLROnPlateau"],
+        ).ReduceLROnPlateau(lr=1e-4)
+        trainer.train_epoch_phase("eeg")
+        p_after = jax.device_get(trainer.params)
+
+        def max_delta(a, b):
+            return max(
+                float(np.abs(x - y).max())
+                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+            )
+
+        assert max_delta(p_before["eeg_net"], p_after["eeg_net"]) > 0
+        for frozen in ("eye_net", "pps_net", "arousal_head", "valence_head"):
+            assert max_delta(p_before[frozen], p_after[frozen]) == 0.0
+        # learnable scalars frozen in phase 1 too
+        assert float(p_before["temperature"]) == float(p_after["temperature"])
+
+    def test_phase3_updates_only_valence_head(self, trainer):
+        from multimodal_sentiment_aanalysis_tpu.utils.schedule import (
+            ReduceLROnPlateau,
+        )
+
+        trainer.schedulers["valence"] = ReduceLROnPlateau(lr=1e-4)
+        p_before = jax.device_get(trainer.params)
+        trainer.train_epoch_phase("valence")
+        p_after = jax.device_get(trainer.params)
+
+        def max_delta(a, b):
+            return max(
+                float(np.abs(x - y).max())
+                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+            )
+
+        assert max_delta(p_before["valence_head"], p_after["valence_head"]) > 0
+        # fusion modules have grads (clip-norm set) but NO updates
+        for frozen in ("fusion_stack", "cross_attn_e2p", "eeg_net", "arousal_head"):
+            assert max_delta(p_before[frozen], p_after[frozen]) == 0.0
+
+    def test_evaluate_records_metrics(self, trainer):
+        m = trainer.evaluate()
+        for k in ("loss", "a_loss", "v_loss", "c_loss", "a_acc", "v_acc"):
+            assert k in m and np.isfinite(m[k])
+
+    def test_short_run_saves_checkpoint_and_plot(self, trainer):
+        import glob
+        import os
+
+        test_m = trainer.run(1, 1, 1, 1, 1, save=True, plot=True)
+        assert 0.0 <= test_m["a_acc"] <= 1.0
+        files = os.listdir(trainer.checkpoint_dir)
+        assert any(f.endswith(".msgpack") for f in files)
+        assert any(f.endswith(".png") for f in files)
+
+
+class TestSingleTaskTrainer:
+    def test_run_with_early_stop_and_ckpt(self, tiny_model, tiny_data, tmp_path):
+        from multimodal_sentiment_aanalysis_tpu.train import Trainer
+
+        train, test = tiny_data
+        tr = Trainer(
+            tiny_model,
+            train,
+            test,
+            batch_size=16,
+            checkpoint_dir=str(tmp_path),
+            verbose=False,
+        )
+        tr.run(epochs=3, test_person=0)
+        assert len(tr.train_loss) >= 1
+        assert all(np.isfinite(x) for x in tr.train_loss)
+        import os
+
+        assert "best_model.msgpack" in os.listdir(tmp_path)
+
+    def test_trainer_contrastive_weight_learns(self, tiny_model, tiny_data, tmp_path):
+        from multimodal_sentiment_aanalysis_tpu.train import Trainer
+
+        train, test = tiny_data
+        tr = Trainer(
+            tiny_model, train, test, batch_size=16,
+            checkpoint_dir=str(tmp_path), verbose=False,
+        )
+        w0 = float(tr.params["trainer"]["contrastive_weight"][0])
+        tr.train_epoch(1)
+        w1 = float(tr.params["trainer"]["contrastive_weight"][0])
+        assert w0 != w1  # the weight is in the optimizer's param group
+
+
+class TestSchedules:
+    def test_plateau_reduces_after_patience(self):
+        from multimodal_sentiment_aanalysis_tpu.utils.schedule import (
+            ReduceLROnPlateau,
+        )
+
+        s = ReduceLROnPlateau(lr=1.0, patience=2, factor=0.5)
+        assert s.step(1.0) == 1.0  # best
+        assert s.step(1.1) == 1.0  # bad 1
+        assert s.step(1.1) == 1.0  # bad 2
+        assert s.step(1.1) == 0.5  # bad 3 > patience -> reduce
+
+    def test_early_stopping(self):
+        from multimodal_sentiment_aanalysis_tpu.utils.schedule import EarlyStopping
+
+        e = EarlyStopping(patience=2)
+        assert e.step(1.0) is True  # improvement -> save point
+        assert e.step(2.0) is False
+        assert not e.should_stop
+        e.step(2.0)
+        assert e.should_stop
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from multimodal_sentiment_aanalysis_tpu.utils import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+        p = save_checkpoint(str(tmp_path / "x.msgpack"), tree)
+        restored = load_checkpoint(p, jax.tree.map(jnp.zeros_like, tree))
+        np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4.0))
+
+    def test_strip_module_prefix(self):
+        from multimodal_sentiment_aanalysis_tpu.utils import strip_module_prefix
+
+        d = {"module.a": 1, "module.b": 2}
+        assert strip_module_prefix(d) == {"a": 1, "b": 2}
+        d2 = {"module.a": 1, "b": 2}  # not uniform -> untouched
+        assert strip_module_prefix(d2) == d2
+
+
+class TestSimCLREngines:
+    def test_pretrain_and_finetune(self, tiny_data):
+        from multimodal_sentiment_aanalysis_tpu.data import build_contrastive_pairs
+        from multimodal_sentiment_aanalysis_tpu.models import (
+            Classifier,
+            MultiModalEncoder,
+            ProjectionHead,
+        )
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            contrastive_pretrain,
+            finetune,
+        )
+
+        train, test = tiny_data
+
+        class TinyEncoder(MultiModalEncoder):
+            pass
+
+        # build pairs over the 40 train samples as 2 pseudo-subjects
+        a = np.asarray(train.arrays["arousal"])
+        v = np.asarray(train.arrays["valence"])
+        subj = np.repeat([0, 1], 20)
+        pairs, labels = build_contrastive_pairs(a, v, subj, seed=0)
+        assert len(pairs) > 0
+
+        # a small encoder (feat_dim stays 256 but eeg stem is the tiny one)
+        from multimodal_sentiment_aanalysis_tpu.models import MultiModalEncoder
+
+        enc = MultiModalEncoder()
+        proj = ProjectionHead()
+        enc_vars, proj_vars, losses = contrastive_pretrain(
+            enc, proj, train, pairs, labels, num_epochs=1, batch_size=16,
+            verbose=False,
+        )
+        assert len(losses) == 1 and np.isfinite(losses[0])
+
+        clf = Classifier()
+        clf_vars, metrics = finetune(
+            enc, enc_vars, clf, train, test, num_epochs=1, batch_size=16,
+            verbose=False,
+        )
+        assert 0.0 <= metrics["a_acc"] <= 1.0
