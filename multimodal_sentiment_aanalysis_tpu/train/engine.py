@@ -38,7 +38,7 @@ from ..data.pipeline import DeviceDataset
 from ..ops.losses import masked_accuracy, masked_cross_entropy
 from ..utils.checkpoint import metrics_checkpoint_name, save_checkpoint
 from ..utils.schedule import EarlyStopping, ReduceLROnPlateau
-from .state import clip_by_global_norm, set_learning_rate
+from .state import clip_by_global_norm, set_learning_rate, strong_typed
 
 
 class Trainer:
@@ -85,7 +85,7 @@ class Trainer:
         self.tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=lr, weight_decay=weight_decay
         )
-        self.opt_state = self.tx.init(self.params)
+        self.opt_state = strong_typed(self.tx.init(self.params))
         self.scheduler = ReduceLROnPlateau(lr=lr, patience=3, factor=0.5)
         self.early = EarlyStopping(patience=patience)
 

@@ -51,6 +51,7 @@ from .state import (
     make_masked_adamw,
     module_mask,
     set_learning_rate,
+    strong_typed,
     zero_masked_grads,
 )
 
@@ -322,7 +323,7 @@ class MultiTaskTrainer:
         tx = self._phase_tx(phase)
 
         if self.reset_optimizer_each_epoch or phase not in self._opt_state:
-            opt_state = tx.init(self.params)
+            opt_state = strong_typed(tx.init(self.params))
             opt_state = set_learning_rate(
                 opt_state, self.schedulers[phase].lr if phase in self.schedulers else self.lr
             )

@@ -28,6 +28,7 @@ import numpy as np
 import optax
 
 from ..data.pipeline import DeviceDataset, epoch_batch_indices
+from .state import strong_typed
 from ..ops.losses import masked_accuracy, masked_cross_entropy, ntxent_supervised_two_view
 
 
@@ -64,7 +65,7 @@ def contrastive_pretrain(
         "proj": proj_vars.get("batch_stats", {}),
     }
     tx = optax.adam(lr)
-    opt_state = tx.init(params)
+    opt_state = strong_typed(tx.init(params))
 
     pair_idx_dev = jnp.asarray(pair_indices)
     pair_lab_dev = jnp.asarray(pair_labels)
@@ -150,7 +151,7 @@ def finetune(
     clf_vars = classifier.init(key, feat)
     params = clf_vars["params"]
     tx = optax.adam(lr)
-    opt_state = tx.init(params)
+    opt_state = strong_typed(tx.init(params))
 
     def features(arrays, idx):
         batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}

@@ -90,6 +90,24 @@ def make_masked_adamw(
     )
 
 
+def strong_typed(tree: Any) -> Any:
+    """Canonicalize every leaf to a strong-typed device array.
+
+    ``optax`` init states (notably ``inject_hyperparams``) hold Python
+    scalars as weak-typed arrays; after one compiled update they come back
+    strong-typed, which changes the jit signature and silently recompiles
+    the whole epoch program on its *second* call (tens of seconds on TPU).
+    Canonicalizing right after ``tx.init`` keeps a single signature.
+    """
+
+    def fix(x):
+        a = jnp.asarray(x)
+        # astype always returns weak_type=False, even for a no-op cast
+        return a.astype(a.dtype)
+
+    return jax.tree.map(fix, tree)
+
+
 def set_learning_rate(opt_state: Any, lr: float) -> Any:
     """Functionally set the injected learning rate inside a masked/chained
     optimizer state."""
