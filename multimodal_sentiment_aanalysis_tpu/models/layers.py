@@ -86,9 +86,11 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(b, tk, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, tk, h, hd).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
-        attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # blockwise flash attention on TPU for non-trivial sequence lengths;
+        # jnp reference numerics otherwise (kernels/attention.py dispatch)
+        from ..kernels.attention import flash_mha
+
+        out = flash_mha(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, e)
         return out @ out_w.T + out_b
 

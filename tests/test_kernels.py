@@ -1,0 +1,136 @@
+"""A/B numerics tests: Pallas kernels vs their jnp reference implementations.
+
+On the CPU test mesh the kernels run in Pallas interpret mode, which
+exercises the exact kernel code path (SURVEY.md §4: unit tests per kernel,
+Pallas vs jax.numpy reference).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_sentiment_aanalysis_tpu.kernels import (
+    flash_mha,
+    fused_conv_bn_gelu_pool,
+    fused_supervised_infonce,
+)
+from multimodal_sentiment_aanalysis_tpu.kernels.attention import mha_reference
+from multimodal_sentiment_aanalysis_tpu.kernels.conv_stem import fold_bn
+from multimodal_sentiment_aanalysis_tpu.ops.losses import supervised_infonce
+
+
+class TestFusedInfoNCE:
+    @pytest.mark.parametrize("batch", [16, 64, 60])  # 60 exercises padding
+    def test_forward_parity(self, rng, batch):
+        f = jnp.asarray(rng.normal(size=(batch, 32)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 3, batch))
+        ref = supervised_infonce(f, f, labels, 0.07)
+        ours = fused_supervised_infonce(f, f, labels, 0.07)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    def test_forward_parity_masked(self, rng):
+        f = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 3, 32))
+        mask = jnp.asarray((rng.random(32) > 0.3).astype(np.float32))
+        ref = supervised_infonce(f, f, labels, 0.1, mask)
+        ours = fused_supervised_infonce(f, f, labels, 0.1, mask)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    def test_gradient_parity(self, rng):
+        f = jnp.asarray(rng.normal(size=(24, 16)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 3, 24))
+        t = jnp.asarray(0.05)
+
+        def ref_loss(f, t):
+            return supervised_infonce(f, f, labels, t)
+
+        def ours_loss(f, t):
+            return fused_supervised_infonce(f, f, labels, t)
+
+        gref_f, gref_t = jax.grad(ref_loss, argnums=(0, 1))(f, t)
+        gours_f, gours_t = jax.grad(ours_loss, argnums=(0, 1))(f, t)
+        np.testing.assert_allclose(
+            np.asarray(gours_f), np.asarray(gref_f), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(float(gours_t), float(gref_t), rtol=1e-4)
+
+    def test_jit_composes(self, rng):
+        f = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 2, 16))
+        fn = jax.jit(lambda f: fused_supervised_infonce(f, f, labels, 0.1))
+        assert np.isfinite(float(fn(f)))
+
+
+class TestFlashMHA:
+    @pytest.mark.parametrize(
+        "tq,tk", [(128, 128), (73, 73), (64, 256), (200, 100)]
+    )
+    def test_forward_parity(self, rng, tq, tk):
+        q = jnp.asarray(rng.normal(size=(2, 4, tq, 32)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 4, tk, 32)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 4, tk, 32)).astype(np.float32))
+        ref = mha_reference(q, k, v)
+        ours = flash_mha(q, k, v, block_q=64, block_k=64, force=True)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_gradient_parity(self, rng):
+        q = jnp.asarray(rng.normal(size=(1, 2, 96, 16)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 2, 80, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 2, 80, 16)).astype(np.float32))
+
+        def loss_ref(q, k, v):
+            return (mha_reference(q, k, v) ** 2).sum()
+
+        def loss_ours(q, k, v):
+            return (flash_mha(q, k, v, block_q=32, block_k=32, force=True) ** 2).sum()
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        go = jax.grad(loss_ours, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(go, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+    def test_tiny_seq_dispatches_to_reference(self, rng):
+        q = jnp.asarray(rng.normal(size=(2, 4, 1, 64)).astype(np.float32))
+        out = flash_mha(q, q, q)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(mha_reference(q, q, q)), rtol=1e-5
+        )
+
+
+class TestFusedConvStem:
+    @pytest.mark.parametrize(
+        "c,o,k,pad,pool,t", [(32, 64, 15, 7, 4, 585), (64, 128, 5, 2, 2, 146)]
+    )
+    def test_stage_parity(self, rng, c, o, k, pad, pool, t):
+        import jax.lax as lax
+
+        x = jnp.asarray(rng.normal(size=(6, t, c)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(o, c, k)).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+        gamma = jnp.asarray(rng.normal(size=(o,)).astype(np.float32) * 0.1 + 1)
+        beta = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+        mean = jnp.asarray(rng.normal(size=(o,)).astype(np.float32) * 0.1)
+        var = jnp.asarray(rng.random(o).astype(np.float32) + 0.5)
+
+        # jnp reference: conv -> inference BN -> gelu -> pool
+        conv = lax.conv_general_dilated(
+            x, jnp.transpose(w, (2, 1, 0)), (1,), [(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + bias
+        bn = gamma * (conv - mean) / jnp.sqrt(var + 1e-5) + beta
+        act = 0.5 * bn * (1.0 + jax.lax.erf(bn / math.sqrt(2.0)))
+        t_out = t // pool
+        ref = act[:, : t_out * pool].reshape(6, t_out, pool, o).max(axis=2)
+
+        scale, shift = fold_bn(gamma, beta, mean, var, bias)
+        ours = fused_conv_bn_gelu_pool(x, w, scale, shift, pad, pool)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
