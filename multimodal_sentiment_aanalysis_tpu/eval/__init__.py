@@ -1,4 +1,5 @@
 from .tester import Tester
+from .serving import build_serving_forward
 from .reporting import (
     Myreport,
     plot_progress,
@@ -10,6 +11,7 @@ from .reporting import (
 
 __all__ = [
     "Tester",
+    "build_serving_forward",
     "Myreport",
     "plot_progress",
     "plot_confusion_matrix",
