@@ -1,0 +1,341 @@
+"""Command-line drivers.
+
+TPU-native rebuild of the reference's L5 entry points (SURVEY.md §1):
+
+- ``phased``  — LOSO outer loop over the 5-phase curriculum trainer
+  (reference ``main.py:52-68`` -> ``MultiTaskTrainer.run(50,70,50,10,100)``)
+- ``simclr``  — contrastive pretrain -> frozen-encoder finetune LOSO loop
+  (reference ``train.py:141-205``)
+- ``single``  — single-stage CE+contrastive trainer with early stopping
+  (reference ``Trainer.py:9-263`` driven per subject)
+- ``eval``    — checkpoint evaluation with classification report + confusion
+  matrices (reference ``main.py:34-49`` -> ``Tester``)
+- ``inspect`` — first-batch shape sanity check (reference ``printData.py:21-31``)
+
+Every subcommand accepts ``--synthetic`` (deterministic generated dataset
+with the reference pickle schema) or ``--data /path/to/hci_data.pkl``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_arrays(args) -> tuple[dict, int]:
+    """Dataset -> normalized feature arrays dict; returns (arrays, ex_nums)."""
+    from .data import assemble_features, make_synthetic_hci_data
+    from .data.raw import RawData
+
+    if args.synthetic or not args.data:
+        data = make_synthetic_hci_data(seed=args.seed)
+    else:
+        data = RawData(args.data).data
+    feats, _ = assemble_features(
+        data, ["eeg", "eye", "pps"], norm="Z_score", label_type="arousal"
+    )
+    arrays = {
+        "eeg": feats["eeg"].astype(np.float32),
+        "eye": feats["eye"].astype(np.float32),
+        "pps": feats["pps"].astype(np.float32),
+        "arousal": np.asarray(data["arousal_label"]).reshape(-1).astype(np.int64),
+        "valence": np.asarray(data["valence_label"]).reshape(-1).astype(np.int64),
+    }
+    ex_nums = args.ex_nums
+    return arrays, ex_nums
+
+
+def _subject_range(args, n_subjects: int) -> list[int]:
+    if args.subjects:
+        return [int(s) for s in args.subjects.split(",")]
+    return list(range(n_subjects))
+
+
+def cmd_phased(args) -> None:
+    """LOSO loop over the phased multi-task trainer (reference main.py)."""
+    import jax
+
+    from .data import DeviceDataset, loso_split
+    from .eval.reporting import plot_subject_accuracies
+    from .models import MultimodalTransformerModel
+    from .train import MultiTaskTrainer
+
+    arrays, ex_nums = _load_arrays(args)
+    n_subjects = arrays["arousal"].shape[0] // ex_nums
+    full = DeviceDataset(arrays)
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+
+    model = MultimodalTransformerModel()
+    trainer = None
+    results: dict[int, dict[str, float]] = {}
+    for sid in _subject_range(args, n_subjects):
+        tr_idx, te_idx = loso_split(n_subjects, ex_nums, sid)
+        train_ds, test_ds = full.subset(tr_idx), full.subset(te_idx)
+        if trainer is None:
+            trainer = MultiTaskTrainer(
+                model, train_ds, test_ds, test_person=sid,
+                checkpoint_dir=args.checkpoint_dir, seed=args.seed,
+                verbose=not args.quiet,
+            )
+        else:
+            # shapes are identical across subjects: reuse compiled programs
+            trainer.reset(train_ds, test_ds, test_person=sid, seed=args.seed)
+        print(f"===== LOSO test subject {sid} =====")
+        final = trainer.run(*args.epochs, save=True, plot=not args.no_plots)
+        results[sid] = final
+        print(
+            f"subject {sid}: arousal acc {final['a_acc']:.2%} "
+            f"valence acc {final['v_acc']:.2%}"
+        )
+    a = float(np.mean([r["a_acc"] for r in results.values()]))
+    v = float(np.mean([r["v_acc"] for r in results.values()]))
+    print(f"LOSO mean: arousal {a:.2%} valence {v:.2%}")
+    if not args.no_plots:
+        plot_subject_accuracies(
+            [results[k]["a_acc"] for k in sorted(results)],
+            f"{args.checkpoint_dir}/subject_accuracies.png",
+        )
+    _write_results(args, {"per_subject": {str(k): v for k, v in results.items()},
+                          "mean_arousal_acc": a, "mean_valence_acc": v})
+
+
+def cmd_simclr(args) -> None:
+    """Contrastive pretrain -> frozen finetune LOSO loop (reference train.py)."""
+    from .data import DeviceDataset, build_contrastive_pairs, loso_split
+    from .data.splits import subject_ids_array
+    from .models import Classifier, MultiModalEncoder, ProjectionHead
+    from .train import contrastive_pretrain, finetune
+
+    arrays, ex_nums = _load_arrays(args)
+    n_subjects = arrays["arousal"].shape[0] // ex_nums
+    full = DeviceDataset(arrays)
+    subject_ids = subject_ids_array(n_subjects, ex_nums)
+
+    encoder = MultiModalEncoder()
+    projector = ProjectionHead()
+    classifier = Classifier()
+
+    results = {}
+    for sid in _subject_range(args, n_subjects):
+        tr_idx, te_idx = loso_split(n_subjects, ex_nums, sid)
+        train_ds, test_ds = full.subset(tr_idx), full.subset(te_idx)
+        pair_idx, pair_lab = build_contrastive_pairs(
+            arrays["arousal"][tr_idx], arrays["valence"][tr_idx],
+            subject_ids[tr_idx], seed=args.seed,
+        )
+        print(f"===== LOSO test subject {sid} ({len(pair_idx)} pairs) =====")
+        enc_vars, _, _ = contrastive_pretrain(
+            encoder, projector, train_ds, pair_idx, pair_lab,
+            num_epochs=args.pretrain_epochs, seed=args.seed,
+            verbose=not args.quiet,
+        )
+        _, final = finetune(
+            encoder, enc_vars, classifier, train_ds, test_ds,
+            num_epochs=args.finetune_epochs, seed=args.seed,
+            verbose=not args.quiet,
+        )
+        results[sid] = final
+        print(
+            f"subject {sid}: arousal acc {final['a_acc']:.2%} "
+            f"valence acc {final['v_acc']:.2%}"
+        )
+    a = float(np.mean([r["a_acc"] for r in results.values()]))
+    v = float(np.mean([r["v_acc"] for r in results.values()]))
+    print(f"LOSO mean: arousal {a:.2%} valence {v:.2%}")
+    _write_results(args, {"per_subject": {str(k): v for k, v in results.items()},
+                          "mean_arousal_acc": a, "mean_valence_acc": v})
+
+
+def cmd_single(args) -> None:
+    """Single-stage CE+contrastive trainer per subject (reference Trainer.py)."""
+    from .data import DeviceDataset, loso_split
+    from .models import MultimodalTransformerModel
+    from .train import Trainer
+
+    arrays, ex_nums = _load_arrays(args)
+    n_subjects = arrays["arousal"].shape[0] // ex_nums
+    full = DeviceDataset(arrays)
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+
+    results = {}
+    for sid in _subject_range(args, n_subjects):
+        tr_idx, te_idx = loso_split(n_subjects, ex_nums, sid)
+        trainer = Trainer(
+            MultimodalTransformerModel(), full.subset(tr_idx),
+            full.subset(te_idx), checkpoint_dir=args.checkpoint_dir,
+            seed=args.seed, verbose=not args.quiet,
+        )
+        print(f"===== LOSO test subject {sid} =====")
+        trainer.run(args.epochs[0], test_person=sid)
+        results[sid] = {
+            "test_acc": trainer.test_acc[-1], "test_loss": trainer.test_loss[-1]
+        }
+        print(f"subject {sid}: test acc {trainer.test_acc[-1]:.2%}")
+    a = float(np.mean([r["test_acc"] for r in results.values()]))
+    print(f"LOSO mean arousal acc: {a:.2%}")
+    _write_results(args, {"per_subject": {str(k): v for k, v in results.items()},
+                          "mean_arousal_acc": a})
+
+
+def cmd_memhacl(args) -> None:
+    """ME-MHACL stack: NT-Xent pretrain on the full set, then joint
+    encoder+classifier finetune on an 80/20 split (reference ME-MHACL/train.py)."""
+    from .data import DeviceDataset
+    from .data.memhacl import (
+        load_emotion_npy,
+        make_synthetic_emotion_arrays,
+        random_split_indices,
+    )
+    from .models import MEMHACLClassifier, MEMHACLEncoder, ProjectionHead
+    from .train import memhacl_finetune, memhacl_pretrain
+
+    if args.npy_dir and not args.synthetic:
+        d = args.npy_dir
+        arrays = load_emotion_npy(
+            f"{d}/eeg_data.npy", f"{d}/eye_data.npy",
+            f"{d}/physio_data.npy", f"{d}/labels.npy",
+        )
+    else:
+        arrays = make_synthetic_emotion_arrays(n=args.n_samples, seed=args.seed)
+    full = DeviceDataset(arrays)
+    tr_idx, va_idx = random_split_indices(len(full), 0.8, seed=args.seed)
+
+    encoder = MEMHACLEncoder()
+    enc_vars, _, _ = memhacl_pretrain(
+        encoder, ProjectionHead(), full,
+        num_epochs=args.pretrain_epochs, seed=args.seed,
+        verbose=not args.quiet,
+    )
+    _, _, metrics = memhacl_finetune(
+        encoder, enc_vars, MEMHACLClassifier(),
+        full.subset(tr_idx), full.subset(va_idx),
+        num_epochs=args.finetune_epochs, seed=args.seed,
+        verbose=not args.quiet,
+    )
+    print(
+        f"final: arousal acc {metrics['a_acc']:.2%} "
+        f"valence acc {metrics['v_acc']:.2%}"
+    )
+    _write_results(args, metrics)
+
+
+def cmd_eval(args) -> None:
+    """Evaluate a checkpoint on one held-out subject (reference Tester)."""
+    from .data import DeviceDataset, loso_split
+    from .eval import Tester
+    from .models import MultimodalTransformerModel
+
+    arrays, ex_nums = _load_arrays(args)
+    n_subjects = arrays["arousal"].shape[0] // ex_nums
+    full = DeviceDataset(arrays)
+    sid = int(args.subjects or 0)
+    _, te_idx = loso_split(n_subjects, ex_nums, sid)
+    tester = Tester(MultimodalTransformerModel(), full.subset(te_idx))
+    results = tester.run(model_path=args.model_path, plot_dir=args.checkpoint_dir)
+    _write_results(args, {
+        "arousal_accuracy": results["arousal"]["accuracy"],
+        "valence_accuracy": results["valence"]["accuracy"],
+    })
+
+
+def cmd_inspect(args) -> None:
+    """First-batch shape sanity check (reference printData.py:21-31)."""
+    from .data import DeviceDataset
+
+    arrays, ex_nums = _load_arrays(args)
+    ds = DeviceDataset(arrays)
+    batch, mask = next(ds.batches(args.batch_size, shuffle=False))
+    print(f"eeg:     {batch['eeg'].shape}   expected (B, 32, 585)")
+    print(f"eye:     {batch['eye'].shape}          expected (B, 38)")
+    print(f"pps:     {batch['pps'].shape}         expected (B, 230)")
+    print(f"arousal: {batch['arousal'].shape}  valence: {batch['valence'].shape}")
+    print(f"samples: {len(ds)} ({len(ds) // ex_nums} subjects x {ex_nums} trials)")
+    for name in ("eeg", "eye", "pps"):
+        x = np.asarray(batch[name])
+        assert np.isfinite(x).all(), f"non-finite values in {name}"
+    print("finite-check: OK")
+
+
+def _write_results(args, payload: dict) -> None:
+    if getattr(args, "results_json", None):
+        with open(args.results_json, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"results written to {args.results_json}")
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data", default=None, help="path to hci_data.pkl")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the deterministic synthetic dataset")
+    p.add_argument("--subjects", default=None,
+                   help="comma-separated held-out subject indices (default all)")
+    p.add_argument("--ex-nums", type=int, default=20, dest="ex_nums")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpoint-dir", default="./checkpoints")
+    p.add_argument("--results-json", default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="force a JAX platform (the TPU plugin ignores "
+                        "JAX_PLATFORMS; this sets the config flag before "
+                        "backend init)")
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="multimodal_sentiment_aanalysis_tpu",
+        description="TPU-native multimodal sentiment/emotion framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("phased", help="5-phase curriculum LOSO training")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, nargs=5, default=[50, 70, 50, 10, 100],
+                   metavar=("E_EEG", "E_EYE", "E_PPS", "E2", "E3"))
+    p.set_defaults(fn=cmd_phased)
+
+    p = sub.add_parser("simclr", help="contrastive pretrain + finetune LOSO")
+    _add_common(p)
+    p.add_argument("--pretrain-epochs", type=int, default=50)
+    p.add_argument("--finetune-epochs", type=int, default=30)
+    p.set_defaults(fn=cmd_simclr)
+
+    p = sub.add_parser("single", help="single-stage CE+contrastive trainer")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, nargs=1, default=[300])
+    p.set_defaults(fn=cmd_single)
+
+    p = sub.add_parser("memhacl", help="ME-MHACL pretrain + joint finetune")
+    _add_common(p)
+    p.add_argument("--npy-dir", default=None,
+                   help="directory with eeg_data/eye_data/physio_data/labels .npy")
+    p.add_argument("--n-samples", type=int, default=128,
+                   help="synthetic dataset size")
+    p.add_argument("--pretrain-epochs", type=int, default=50)
+    p.add_argument("--finetune-epochs", type=int, default=30)
+    p.set_defaults(fn=cmd_memhacl)
+
+    p = sub.add_parser("eval", help="evaluate a checkpoint (Tester)")
+    _add_common(p)
+    p.add_argument("--model-path", required=True)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("inspect", help="first-batch shape sanity check")
+    _add_common(p)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.set_defaults(fn=cmd_inspect)
+
+    args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,8 +22,17 @@ DEFAULT_SUBJECT_LISTS = [
 ]
 
 
+
+
+class _DictAccess:
+    """Reference code reads config like ``config["data"]["HCI"]["ex_nums"]``;
+    every config dataclass supports that item access."""
+
+    def __getitem__(self, key: str):
+        return getattr(self, key)
+
 @dataclass
-class HCIDataConfig:
+class HCIDataConfig(_DictAccess):
     """Dataset-layout keys (reference config/config.yaml:18-27)."""
 
     data_path: str = "HCI_DATA/hci_data.pkl"
@@ -40,13 +49,13 @@ class HCIDataConfig:
 
 
 @dataclass
-class DataConfig:
+class DataConfig(_DictAccess):
     name: str = "HCI"
     HCI: HCIDataConfig = field(default_factory=HCIDataConfig)
 
 
 @dataclass
-class TrainingConfig:
+class TrainingConfig(_DictAccess):
     """Reference config/config.yaml:3-13."""
 
     ex_name: str = "HCI two modality fusion"
@@ -64,14 +73,14 @@ class TrainingConfig:
 
 
 @dataclass
-class LoggingConfig:
+class LoggingConfig(_DictAccess):
     log_dir: str = "logs"
     model_dir: str = "outputs"
     save_best_only: bool = True
 
 
 @dataclass
-class DeviceConfig:
+class DeviceConfig(_DictAccess):
     """TPU-native device settings (replaces the reference's gpu/gpu_ids)."""
 
     mesh_shape: list[int] = field(default_factory=lambda: [1])

@@ -9,6 +9,12 @@ from .splits import (
 )
 from .pairs import build_contrastive_pairs
 from .pipeline import DeviceDataset, epoch_batch_indices
+from .dataset import FeatureDataset, load_data
+from .memhacl import (
+    load_emotion_npy,
+    make_synthetic_emotion_arrays,
+    random_split_indices,
+)
 
 __all__ = [
     "RawData",
@@ -25,4 +31,9 @@ __all__ = [
     "build_contrastive_pairs",
     "DeviceDataset",
     "epoch_batch_indices",
+    "FeatureDataset",
+    "load_data",
+    "load_emotion_npy",
+    "make_synthetic_emotion_arrays",
+    "random_split_indices",
 ]

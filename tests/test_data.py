@@ -221,3 +221,39 @@ class TestAugment:
         win2, _ = sliding_window(trial, 1, win_len=20, overlap=0.5)
         assert win2.shape[1:] == (20, 3)
         np.testing.assert_array_equal(win2[1], trial[10:30])
+
+
+class TestDatasetFacade:
+    def test_load_data_loso(self, hci_data):
+        from multimodal_sentiment_aanalysis_tpu.config import Config
+        from multimodal_sentiment_aanalysis_tpu.data import load_data
+
+        cfg = Config()
+        cfg.training.dependent = False
+        train, test = load_data(cfg, test_person=2, data=hci_data)
+        assert len(test) == 20 and len(train) == 460
+        assert set(train.arrays) == {"eeg", "eye", "pps", "arousal", "valence"}
+
+    def test_load_data_kfold_dependent(self, hci_data):
+        from multimodal_sentiment_aanalysis_tpu.config import Config
+        from multimodal_sentiment_aanalysis_tpu.data import load_data
+
+        cfg = Config()
+        cfg.training.dependent = True
+        train, test = load_data(cfg, test_person=0, data=hci_data)
+        assert len(train) + len(test) == 480
+        assert len(test) == 48  # 480 / n_folds(10)
+
+    def test_feature_dataset_binary_filter(self, assembled, hci_data):
+        import numpy as np
+
+        from multimodal_sentiment_aanalysis_tpu.data import FeatureDataset
+
+        feats, label = assembled
+        ds = FeatureDataset(
+            feats, label, mode="train", test_person=0, cls_num=2,
+            dependent=False,
+        )
+        assert set(np.unique(ds.labels)) <= {0, 1}
+        sample, lab = ds[0]
+        assert set(sample) == set(feats)
