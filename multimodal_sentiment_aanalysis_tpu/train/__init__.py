@@ -2,6 +2,7 @@ from .state import TrainState, module_mask, zero_masked_grads
 from .multitask import MultiTaskTrainer, PHASES
 from .engine import Trainer
 from .simclr import contrastive_pretrain, finetune
+from .memhacl import memhacl_pretrain, memhacl_finetune
 
 __all__ = [
     "TrainState",
@@ -12,4 +13,6 @@ __all__ = [
     "Trainer",
     "contrastive_pretrain",
     "finetune",
+    "memhacl_pretrain",
+    "memhacl_finetune",
 ]
