@@ -1,6 +1,14 @@
 from .checkpoint import save_checkpoint, load_checkpoint, strip_module_prefix
 from .seeding import seed_all
 from .schedule import ReduceLROnPlateau, EarlyStopping
+from .profiling import (
+    timed,
+    StepTimer,
+    trace,
+    dump_jaxpr,
+    dump_hlo,
+    enable_nan_debugging,
+)
 
 __all__ = [
     "save_checkpoint",
@@ -9,4 +17,10 @@ __all__ = [
     "seed_all",
     "ReduceLROnPlateau",
     "EarlyStopping",
+    "timed",
+    "StepTimer",
+    "trace",
+    "dump_jaxpr",
+    "dump_hlo",
+    "enable_nan_debugging",
 ]

@@ -274,3 +274,25 @@ class TestSimCLREngines:
             verbose=False,
         )
         assert 0.0 <= metrics["a_acc"] <= 1.0
+
+
+class TestProfilingUtils:
+    def test_timed_and_dumps(self):
+        import jax.numpy as jnp
+
+        from multimodal_sentiment_aanalysis_tpu.utils import (
+            StepTimer,
+            dump_hlo,
+            dump_jaxpr,
+            timed,
+        )
+
+        fn = lambda x: (x * 2).sum()
+        secs, result = timed(jax.jit(fn), jnp.ones(8), iters=3)
+        assert secs > 0 and float(result) == 16.0
+        assert "mul" in dump_jaxpr(fn, jnp.ones(8))
+        assert "stablehlo" in dump_hlo(fn, jnp.ones(8)) or "module" in dump_hlo(fn, jnp.ones(8))
+        t = StepTimer()
+        with t:
+            pass
+        assert t.rate(64) > 0
