@@ -31,9 +31,16 @@ _NEG = -1e30
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 # float32 inputs get exact multi-pass MXU matmuls (parity with the jnp
-# reference under highest precision); pass bfloat16 q/k/v for native-rate
-# serving where ~1e-3 error is acceptable.
-_PRECISION = jax.lax.Precision.HIGHEST
+# reference under highest precision); bfloat16 inputs run at native MXU rate
+# (fp32 contract precision is invalid for bf16 operands in Mosaic).
+
+
+def _prec(dtype) -> jax.lax.Precision:
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
 
 def _interpret() -> bool:
@@ -65,14 +72,14 @@ def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k):
         m, l, acc = carry
         kb = k_ref[0, pl.ds(i * block_k, block_k), :]
         vb = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
         s = jnp.where(col < kv_len, s, _NEG)
         m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + p.sum(axis=1, keepdims=True)
-        acc_new = alpha * acc + jnp.dot(p, vb, preferred_element_type=jnp.float32, precision=_PRECISION)
+        acc_new = alpha * acc + jnp.dot(p, vb, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
         return m_new, l_new, acc_new
 
     tq, dh = q.shape
@@ -142,13 +149,13 @@ def _bwd_dq_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def body(i, dq):
         kb = k_ref[0, pl.ds(i * block_k, block_k), :]
         vb = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
         s = jnp.where(col < kv_len, s, _NEG)
         p = jnp.exp(s - lse)
-        dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+        dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
         ds = p * (dp - delta)
-        return dq + jnp.dot(ds, kb, preferred_element_type=jnp.float32, precision=_PRECISION)
+        return dq + jnp.dot(ds, kb, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
 
     dq0 = jnp.zeros_like(q, jnp.float32)
     dq_ref[0] = jax.lax.fori_loop(0, n_blocks, body, dq0).astype(dq_ref.dtype)
@@ -168,14 +175,14 @@ def _bwd_dkv_kernel(q_len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dob = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
-        s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+        s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
         rowq = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
         # padded q rows have lse=0 -> p=exp(s) garbage; mask them out
         p = jnp.where(rowq < q_len, jnp.exp(s - lse), 0.0)
-        dv_new = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32, precision=_PRECISION)
-        dp = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+        dv_new = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
+        dp = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
         ds = p * (dp - delta)
-        dk_new = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32, precision=_PRECISION)
+        dk_new = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
         return dk_new, dv_new
 
     dk0 = jnp.zeros_like(kb, jnp.float32)

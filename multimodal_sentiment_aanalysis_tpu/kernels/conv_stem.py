@@ -53,17 +53,23 @@ def _stage_kernel(x_ref, w_ref, scale_ref, shift_ref, o_ref, *,
                   k_taps: int, t_out: int, pool: int):
     """x_ref: (Bt, T_padded, C); w_ref: (K, C, O); o_ref: (Bt, T_pool, O)."""
     t_conv = t_out * pool  # pooled-coverage length (floor semantics)
-    x0 = x_ref[:]
+    bt = x_ref.shape[0]
+    o_ch = w_ref.shape[2]
 
-    acc = None
-    for k in range(k_taps):
-        xs = x0[:, k : k + t_conv, :]  # (Bt, t_conv, C)
-        part = jax.lax.dot_general(
+    # accumulate over kernel taps with ref-based dynamic slices: one live
+    # (Bt, t_conv, C) buffer instead of K materialized shifted copies
+    # (K=15 copies of the conv1 input blow the 16 MB VMEM budget at B=64)
+    def tap(k, acc):
+        xs = x_ref[:, pl.ds(k, t_conv), :]
+        return acc + jax.lax.dot_general(
             xs, w_ref[k],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = part if acc is None else acc + part
+
+    acc = jax.lax.fori_loop(
+        0, k_taps, tap, jnp.zeros((bt, t_conv, o_ch), jnp.float32)
+    )
 
     y = acc * scale_ref[0][None, None, :] + shift_ref[0][None, None, :]
     # erf-GELU (torch default; reference uses nn.GELU()); polynomial erf

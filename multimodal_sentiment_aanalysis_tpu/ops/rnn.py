@@ -70,6 +70,7 @@ def bilstm_layer(
     x: jnp.ndarray,
     fwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     bwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    unroll: int = 8,
 ) -> jnp.ndarray:
     """Bidirectional layer: both directions fused into ONE lax.scan.
 
@@ -100,7 +101,9 @@ def bilstm_layer(
         return (h, c), h
 
     h0 = jnp.zeros((2, b, hidden), x.dtype)
-    (_, _), hs = jax.lax.scan(step, (h0, h0), xp)  # (T, 2, B, H)
+    # unrolling amortizes per-iteration scan overhead on TPU; the recurrence
+    # is the fusion-resistant piece of the EEG stem (SURVEY.md §7 hard parts)
+    (_, _), hs = jax.lax.scan(step, (h0, h0), xp, unroll=unroll)  # (T, 2, B, H)
     h_fwd = jnp.transpose(hs[:, 0], (1, 0, 2))
     h_bwd = jnp.flip(jnp.transpose(hs[:, 1], (1, 0, 2)), axis=1)
     return jnp.concatenate([h_fwd, h_bwd], axis=-1)

@@ -105,6 +105,33 @@ def make_dp_train_step(
     return jax.jit(sharded)
 
 
+def make_dp_eval_step(
+    metrics_fn: Callable,
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> Callable:
+    """Build a jitted DP eval step.
+
+    ``metrics_fn(params, batch_stats, batch) -> metrics`` where every metric
+    is summed over the shard's valid rows; shards psum so the caller divides
+    by the global count once. Returns ``eval_step(params, batch_stats,
+    batch) -> metrics``.
+    """
+
+    def device_step(params, batch_stats, batch):
+        metrics = metrics_fn(params, batch_stats, batch)
+        return jax.tree.map(lambda m: jax.lax.psum(m, axis_name), metrics)
+
+    sharded = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def gspmd_jit_step(step_fn: Callable, mesh: Mesh, axis_name: str = "data"):
     """GSPMD flavor: jit with sharding annotations; XLA inserts collectives.
 

@@ -159,3 +159,50 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestDPEval:
+    def test_dp_eval_matches_single_device(self, mesh, setup):
+        import jax.numpy as jnp
+
+        from multimodal_sentiment_aanalysis_tpu.ops.losses import (
+            masked_accuracy,
+            masked_cross_entropy,
+        )
+        from multimodal_sentiment_aanalysis_tpu.parallel import shard_batch
+        from multimodal_sentiment_aanalysis_tpu.parallel.dp import (
+            make_dp_eval_step,
+        )
+
+        model, variables, batch, _ = setup
+
+        def metrics_fn(params, batch_stats, batch):
+            a, v = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["eeg"], batch["eye"], batch["pps"],
+            )
+            n = batch["mask"].sum()
+            return {
+                "a_acc": masked_accuracy(a, batch["arousal"], batch["mask"]) * n,
+                "loss": masked_cross_entropy(a, batch["arousal"], batch["mask"]) * n,
+                "n": n,
+            }
+
+        eval_step = make_dp_eval_step(metrics_fn, mesh)
+        sharded = shard_batch(mesh, batch)
+        dist = jax.device_get(
+            eval_step(variables["params"], variables.get("batch_stats", {}), sharded)
+        )
+        local = jax.device_get(
+            jax.tree.map(
+                lambda x: x,
+                metrics_fn(variables["params"], variables.get("batch_stats", {}), batch),
+            )
+        )
+        assert float(dist["n"]) == float(local["n"])
+        np.testing.assert_allclose(
+            float(dist["a_acc"]), float(local["a_acc"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(dist["loss"]), float(local["loss"]), rtol=1e-4
+        )
