@@ -114,6 +114,58 @@ def assemble_features(
     return features, label
 
 
+def au_group_normalize(
+    features: np.ndarray, n_au_points: int = 17, features_per_au: int = 7
+) -> np.ndarray:
+    """Per-AU-group normalization: each facial action unit's 7-feature block
+    is independently z-scored then min-maxed (reference
+    ``data/LoadFeatures.py:160-185``, ``AuFeatures._normalize``)."""
+    features = np.array(features, copy=True, dtype=np.float64)
+    for au in range(n_au_points):
+        lo, hi = au * features_per_au, (au + 1) * features_per_au
+        blk = features[:, lo:hi]
+        blk = (blk - blk.mean()) / blk.std()
+        blk = (blk - blk.min()) / (blk.max() - blk.min())
+        features[:, lo:hi] = blk
+    return features
+
+
+class AuFeatures:
+    """Facial action-unit feature loader (reference
+    ``data/LoadFeatures.py:145-235``): per-subject ``{subject}.npy`` files
+    under ``<data_dir>/au_feature/``, concatenated and NaN-scrubbed.
+    Unused by the HCI pipeline (its dataset ships no AU files) — kept for
+    API parity with the AU branch."""
+
+    def __init__(self, au_data, subject_lists, data_path: str):
+        self.au_data = au_data
+        self.subject_lists = subject_lists
+        self.data_path = data_path
+        self.au_features: np.ndarray | None = None
+
+    _normalize = staticmethod(au_group_normalize)
+
+    def compute_au_features(self, feature_dir_name: str = "au_feature") -> np.ndarray:
+        import os
+
+        au_dir = os.path.join(os.path.dirname(self.data_path), feature_dir_name)
+        if not os.path.exists(au_dir):
+            raise FileNotFoundError(f"feature directory missing: {au_dir}")
+        parts = []
+        for subject in self.subject_lists:
+            path = os.path.join(au_dir, f"{subject}.npy")
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"missing file: {path}")
+            parts.append(np.load(path))
+        self.au_features = np.nan_to_num(np.concatenate(parts, axis=0))
+        return self.au_features
+
+    def get_features(self) -> np.ndarray:
+        if self.au_features is None:
+            self.au_features = self.compute_au_features()
+        return self.au_features
+
+
 class DataFeatures:
     """Class facade over :func:`assemble_features`.
 

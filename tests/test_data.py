@@ -257,3 +257,30 @@ class TestDatasetFacade:
         assert set(np.unique(ds.labels)) <= {0, 1}
         sample, lab = ds[0]
         assert set(sample) == set(feats)
+
+
+class TestAuFeatures:
+    def test_group_normalize(self, rng):
+        from multimodal_sentiment_aanalysis_tpu.data.features import (
+            au_group_normalize,
+        )
+
+        x = rng.normal(size=(40, 17 * 7)) * 3 + 1
+        out = au_group_normalize(x)
+        for au in range(17):
+            blk = out[:, au * 7 : (au + 1) * 7]
+            assert abs(blk.min()) < 1e-12 and abs(blk.max() - 1) < 1e-12
+
+    def test_npy_loading(self, tmp_path, rng):
+        import numpy as np
+
+        from multimodal_sentiment_aanalysis_tpu.data.features import AuFeatures
+
+        au_dir = tmp_path / "au_feature"
+        au_dir.mkdir()
+        for s in (1, 2):
+            np.save(au_dir / f"{s}.npy", rng.normal(size=(20, 119)))
+        au = AuFeatures(None, [1, 2], str(tmp_path / "hci_data.pkl"))
+        feats = au.get_features()
+        assert feats.shape == (40, 119)
+        assert np.isfinite(feats).all()
