@@ -70,7 +70,7 @@ def bilstm_layer(
     x: jnp.ndarray,
     fwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     bwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
-    unroll: int = 8,
+    unroll: int | None = None,
 ) -> jnp.ndarray:
     """Bidirectional layer: both directions fused into ONE lax.scan.
 
@@ -102,7 +102,11 @@ def bilstm_layer(
 
     h0 = jnp.zeros((2, b, hidden), x.dtype)
     # unrolling amortizes per-iteration scan overhead on TPU; the recurrence
-    # is the fusion-resistant piece of the EEG stem (SURVEY.md §7 hard parts)
+    # is the fusion-resistant piece of the EEG stem (SURVEY.md §7 hard
+    # parts). Short sequences unroll fully (measured 7.0 ms vs 8.3 ms/step
+    # at T=73); long ones cap the unroll to bound compile time.
+    if unroll is None:
+        unroll = t if t <= 128 else 8
     (_, _), hs = jax.lax.scan(step, (h0, h0), xp, unroll=unroll)  # (T, 2, B, H)
     h_fwd = jnp.transpose(hs[:, 0], (1, 0, 2))
     h_bwd = jnp.flip(jnp.transpose(hs[:, 1], (1, 0, 2)), axis=1)

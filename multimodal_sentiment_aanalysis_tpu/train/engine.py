@@ -191,6 +191,68 @@ class Trainer:
 
         return eval_epoch
 
+
+    # ------------------------------------------------------------------
+    # full-state checkpoint/resume (beyond the reference's params-only save)
+    def _host_state(self) -> str:
+        import dataclasses
+        import json
+
+        # JSON string leaf: flax msgpack restore requires static pytree
+        # structure, which variable-length history lists would break
+        return json.dumps({
+            "rng_state": self.host_rng.bit_generator.state,
+            "scheduler": dataclasses.asdict(self.scheduler),
+            "early": dataclasses.asdict(self.early),
+            "train_loss": list(self.train_loss),
+            "test_loss": list(self.test_loss),
+            "train_acc": list(self.train_acc),
+            "test_acc": list(self.test_acc),
+        })
+
+    def save_state(self, path: str) -> str:
+        """Serialize params, batch stats, optimizer state, RNG, scheduler and
+        early-stop state so training resumes exactly (SURVEY.md §5 flags the
+        reference as save-only)."""
+        return save_checkpoint(
+            path,
+            {
+                "params": self.params,
+                "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state,
+                "dropout_seed": jax.random.key_data(self.dropout_seed),
+                "host": self._host_state(),
+            },
+        )
+
+    def restore_state(self, path: str) -> None:
+        from ..utils.checkpoint import load_checkpoint
+        from ..utils.schedule import EarlyStopping, ReduceLROnPlateau
+
+        target = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "dropout_seed": jax.random.key_data(self.dropout_seed),
+            "host": self._host_state(),
+        }
+        tree = load_checkpoint(path, target)
+        self.params = tree["params"]
+        self.batch_stats = tree["batch_stats"]
+        self.opt_state = tree["opt_state"]
+        self.dropout_seed = jax.random.wrap_key_data(tree["dropout_seed"])
+        import json
+
+        host = json.loads(tree["host"])
+        self.host_rng = np.random.default_rng()
+        self.host_rng.bit_generator.state = host["rng_state"]
+        self.scheduler = ReduceLROnPlateau(**host["scheduler"])
+        self.early = EarlyStopping(**host["early"])
+        self.train_loss = list(host["train_loss"])
+        self.test_loss = list(host["test_loss"])
+        self.train_acc = list(host["train_acc"])
+        self.test_acc = list(host["test_acc"])
+
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> tuple[float, float, float, float]:
         plan_idx, plan_mask = self.train_data.epoch_plan(

@@ -296,3 +296,41 @@ class TestProfilingUtils:
         with t:
             pass
         assert t.rate(64) > 0
+
+
+class TestCheckpointResume:
+    def test_trainer_save_restore_roundtrip(self, tmp_path, rng):
+        from multimodal_sentiment_aanalysis_tpu.data import DeviceDataset
+        from multimodal_sentiment_aanalysis_tpu.models import (
+            MultimodalTransformerModel,
+        )
+        from multimodal_sentiment_aanalysis_tpu.train import Trainer
+
+        n = 24
+        arrays = {
+            "eeg": rng.normal(size=(n, 32, 64)).astype(np.float32),
+            "eye": rng.normal(size=(n, 38)).astype(np.float32),
+            "pps": rng.normal(size=(n, 230)).astype(np.float32),
+            "arousal": rng.integers(0, 3, n).astype(np.int64),
+            "valence": rng.integers(0, 3, n).astype(np.int64),
+        }
+        ds = DeviceDataset(arrays)
+        model = MultimodalTransformerModel(feat_dim=32, eeg_time=64)
+        tr = Trainer(model, ds, ds, batch_size=8,
+                     checkpoint_dir=str(tmp_path), verbose=False)
+        tr.train_epoch(1)
+        tr.test()
+        path = tr.save_state(str(tmp_path / "state.msgpack"))
+
+        tr2 = Trainer(model, ds, ds, batch_size=8,
+                      checkpoint_dir=str(tmp_path), verbose=False)
+        tr2.restore_state(path)
+        for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert tr2.scheduler.best == tr.scheduler.best
+        assert tr2.train_loss == tr.train_loss
+
+        # both continue identically for one more epoch
+        r1 = tr.train_epoch(2)
+        r2 = tr2.train_epoch(2)
+        np.testing.assert_allclose(r1[0], r2[0], rtol=1e-6)
