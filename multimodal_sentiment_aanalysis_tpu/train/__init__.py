@@ -3,6 +3,7 @@ from .multitask import MultiTaskTrainer, PHASES
 from .engine import Trainer
 from .simclr import contrastive_pretrain, finetune
 from .memhacl import memhacl_pretrain, memhacl_finetune
+from .vloso import VectorizedLOSOTrainer
 
 __all__ = [
     "TrainState",
@@ -15,4 +16,5 @@ __all__ = [
     "finetune",
     "memhacl_pretrain",
     "memhacl_finetune",
+    "VectorizedLOSOTrainer",
 ]
