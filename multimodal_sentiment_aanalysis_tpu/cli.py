@@ -194,6 +194,7 @@ def cmd_vloso(args) -> None:
     trainer = VectorizedLOSOTrainer(
         MultimodalTransformerModel(), DeviceDataset(arrays),
         n_subjects, ex_nums, seed=args.seed,
+        compute_dtype="bfloat16" if args.bf16 else None,
     )
     res = trainer.run(args.epochs[0], verbose=not args.quiet)
     _write_results(args, {
@@ -306,6 +307,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="force a JAX platform (the TPU plugin ignores "
                         "JAX_PLATFORMS; this sets the config flag before "
                         "backend init)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="global NaN tripwire: any op producing NaN raises "
+                        "(whole-program analog of the reference's per-batch "
+                        "NaN guards)")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -337,6 +342,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     _add_common(p)
     p.add_argument("--epochs", type=int, nargs=1, default=[100])
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (float32 master params)")
     p.set_defaults(fn=cmd_vloso)
 
     p = sub.add_parser("memhacl", help="ME-MHACL pretrain + joint finetune")
@@ -364,6 +371,10 @@ def main(argv: list[str] | None = None) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "debug_nans", False):
+        from .utils import enable_nan_debugging
+
+        enable_nan_debugging(True)
     args.fn(args)
 
 

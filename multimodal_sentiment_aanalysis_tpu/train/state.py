@@ -90,6 +90,22 @@ def make_masked_adamw(
     )
 
 
+def cast_floating(tree: Any, dtype) -> Any:
+    """Cast floating leaves to ``dtype`` (mixed-precision compute cast).
+
+    Used for bf16 training: master params stay float32 in the optimizer;
+    the loss function casts them (and the batch) to bfloat16 for the
+    forward/backward — the cast is differentiable, so gradients come back
+    float32 automatically.
+    """
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def strong_typed(tree: Any) -> Any:
     """Canonicalize every leaf to a strong-typed device array.
 

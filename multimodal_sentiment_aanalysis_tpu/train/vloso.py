@@ -29,7 +29,7 @@ import optax
 from ..data.pipeline import DeviceDataset
 from ..data.splits import loso_split
 from ..ops.losses import masked_accuracy, masked_cross_entropy
-from .state import clip_by_global_norm, strong_typed
+from .state import cast_floating, clip_by_global_norm, strong_typed
 
 
 class VectorizedLOSOTrainer:
@@ -46,13 +46,18 @@ class VectorizedLOSOTrainer:
         batch_size: int = 64,
         clip_norm: float = 1.0,
         seed: int = 42,
+        compute_dtype: str | None = None,
     ):
+        # compute_dtype='bfloat16' runs forward/backward in bf16 at native
+        # MXU rate while AdamW keeps float32 master params; losses and
+        # BatchNorm running stats are carried in float32 regardless.
         self.model = model
         self.data = data
         self.n_subjects = n_subjects
         self.ex_nums = ex_nums
         self.batch_size = batch_size
         self.clip_norm = clip_norm
+        self.compute_dtype = compute_dtype
         self.host_rng = np.random.default_rng(seed)
 
         # per-subject LOSO index tables; every split has identical shape
@@ -92,6 +97,15 @@ class VectorizedLOSOTrainer:
 
     # ------------------------------------------------------------------
     def _loss_fn(self, params, batch_stats, batch, key):
+        if self.compute_dtype is not None:
+            dt = jnp.dtype(self.compute_dtype)
+            params = {
+                "model": cast_floating(params["model"], dt),
+                "trainer": params["trainer"],
+            }
+            batch = dict(batch)
+            for k in ("eeg", "eye", "pps"):
+                batch[k] = batch[k].astype(dt)
         outs, mutated = self.model.apply(
             {"params": params["model"], "batch_stats": batch_stats},
             batch["eeg"], batch["eye"], batch["pps"],
@@ -99,12 +113,16 @@ class VectorizedLOSOTrainer:
             train=True, mutable=["batch_stats"], rngs={"dropout": key},
         )
         arousal, valence, c1, c2, c3 = outs
-        arousal = jnp.nan_to_num(arousal)
-        valence = jnp.nan_to_num(valence)
+        arousal = jnp.nan_to_num(arousal).astype(jnp.float32)
+        valence = jnp.nan_to_num(valence).astype(jnp.float32)
+        c1, c2, c3 = (x.astype(jnp.float32) for x in (c1, c2, c3))
         mask = batch["mask"]
         ce = masked_cross_entropy(arousal, batch["arousal"], mask) + \
             masked_cross_entropy(valence, batch["valence"], mask)
         loss = ce + params["trainer"]["contrastive_weight"][0] * (c1 + c2 + c3)
+        new_bs = mutated["batch_stats"]
+        if self.compute_dtype is not None:
+            new_bs = cast_floating(new_bs, jnp.float32)
         n = mask.sum()
         metrics = {
             "loss": loss * n,
@@ -112,7 +130,7 @@ class VectorizedLOSOTrainer:
             "v_acc": masked_accuracy(valence, batch["valence"], mask) * n,
             "n": n,
         }
-        return loss, (mutated["batch_stats"], metrics)
+        return loss, (new_bs, metrics)
 
     def _build_train_epoch(self) -> Callable:
         tx, clip_norm = self.tx, self.clip_norm

@@ -50,3 +50,27 @@ class TestVectorizedLOSO:
         res = trainer.run(30, verbose=False)
         assert res["per_subject_arousal"].shape == (3,)
         assert res["mean_arousal_acc"] > 0.5
+
+
+def test_bf16_compute_dtype(rng):
+    n = 2 * 10
+    lab = rng.integers(0, 3, n)
+    arrays = {
+        "eeg": rng.normal(size=(n, 32, 16)).astype(np.float32),
+        "eye": rng.normal(size=(n, 38)).astype(np.float32),
+        "pps": rng.normal(size=(n, 230)).astype(np.float32),
+        "arousal": lab.astype(np.int64),
+        "valence": rng.integers(0, 3, n).astype(np.int64),
+    }
+    tr = VectorizedLOSOTrainer(
+        MultimodalTransformerModel(feat_dim=16, eeg_time=16),
+        DeviceDataset(arrays), 2, 10, batch_size=4, seed=0,
+        compute_dtype="bfloat16",
+    )
+    m = tr.train_epoch()
+    assert np.isfinite(m["loss"]).all()
+    # master params stay float32
+    assert all(
+        np.asarray(x).dtype == np.float32
+        for x in jax.tree.leaves(tr.params["model"])
+    )
