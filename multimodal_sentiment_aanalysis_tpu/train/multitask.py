@@ -316,6 +316,54 @@ class MultiTaskTrainer:
         return eval_epoch
 
     # ------------------------------------------------------------------
+    # phase-boundary checkpoint/resume (params + BN stats + host control
+    # state; per-phase optimizer moments rebuild on the next epoch, which
+    # matches the reference's per-epoch optimizer reset, :181 et seq.)
+    def save_state(self, path: str) -> str:
+        import dataclasses
+        import json
+
+        host = json.dumps({
+            "rng_state": self.host_rng.bit_generator.state,
+            "schedulers": {
+                k: dataclasses.asdict(v) for k, v in self.schedulers.items()
+            },
+            "metrics": self.metrics,
+            "test_person": self.test_person,
+        })
+        return save_checkpoint(path, {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "dropout_seed": jax.random.key_data(self.dropout_seed),
+            "host": host,
+        })
+
+    def restore_state(self, path: str) -> None:
+        import json
+
+        from ..utils.checkpoint import load_checkpoint
+
+        target = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "dropout_seed": jax.random.key_data(self.dropout_seed),
+            "host": "",
+        }
+        tree = load_checkpoint(path, target)
+        self.params = tree["params"]
+        self.batch_stats = tree["batch_stats"]
+        self.dropout_seed = jax.random.wrap_key_data(tree["dropout_seed"])
+        host = json.loads(tree["host"])
+        self.host_rng = np.random.default_rng()
+        self.host_rng.bit_generator.state = host["rng_state"]
+        self.schedulers = {
+            k: ReduceLROnPlateau(**v) for k, v in host["schedulers"].items()
+        }
+        self.metrics = host["metrics"]
+        self.test_person = host["test_person"]
+        self._opt_state = {}
+
+    # ------------------------------------------------------------------
     def train_epoch_phase(self, phase: str) -> dict[str, float]:
         """One training epoch of the given phase; records train metrics."""
         if phase not in self._train_epoch_fn:

@@ -334,3 +334,35 @@ class TestCheckpointResume:
         r1 = tr.train_epoch(2)
         r2 = tr2.train_epoch(2)
         np.testing.assert_allclose(r1[0], r2[0], rtol=1e-6)
+
+    def test_multitask_save_restore(self, tmp_path, rng):
+        from multimodal_sentiment_aanalysis_tpu.data import DeviceDataset
+        from multimodal_sentiment_aanalysis_tpu.models import (
+            MultimodalTransformerModel,
+        )
+        from multimodal_sentiment_aanalysis_tpu.train import MultiTaskTrainer
+
+        n = 20
+        arrays = {
+            "eeg": rng.normal(size=(n, 32, 64)).astype(np.float32),
+            "eye": rng.normal(size=(n, 38)).astype(np.float32),
+            "pps": rng.normal(size=(n, 230)).astype(np.float32),
+            "arousal": rng.integers(0, 3, n).astype(np.int64),
+            "valence": rng.integers(0, 3, n).astype(np.int64),
+        }
+        ds = DeviceDataset(arrays)
+        model = MultimodalTransformerModel(feat_dim=32, eeg_time=64)
+        tr = MultiTaskTrainer(model, ds, ds, batch_size=8,
+                              checkpoint_dir=str(tmp_path), verbose=False)
+        tr._run_phase("eeg", 1, "phase eeg")
+        path = tr.save_state(str(tmp_path / "mt_state.msgpack"))
+
+        tr2 = MultiTaskTrainer(model, ds, ds, batch_size=8,
+                               checkpoint_dir=str(tmp_path), verbose=False)
+        tr2.restore_state(path)
+        for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert tr2.metrics["train"]["loss"] == tr.metrics["train"]["loss"]
+        m1 = tr.train_epoch_phase("eeg")
+        m2 = tr2.train_epoch_phase("eeg")
+        np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-6)
