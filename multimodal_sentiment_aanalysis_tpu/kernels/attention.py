@@ -28,8 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+# tuned on v5e at T=4096 (bf16): 512/1024 runs ~1.6x faster than XLA's
+# attention; smaller blocks underfeed the MXU per grid step
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 # float32 inputs get exact multi-pass MXU matmuls (parity with the jnp
 # reference under highest precision); bfloat16 inputs run at native MXU rate
 # (fp32 contract precision is invalid for bf16 operands in Mosaic).
@@ -62,33 +64,43 @@ def mha_reference(q, k, v):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k):
-    q = q_ref[0]  # (Tq, Dh), pre-scaled
+def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_ref, l_ref, acc_ref, *, block_k):
+    """Grid-pipelined forward: k-blocks arrive via the innermost grid
+    dimension (Mosaic double-buffers their DMA against compute), online-
+    softmax state lives in VMEM scratch across k iterations."""
     kv_len = kv_len_ref[0]
-    tk = k_ref.shape[1]
-    n_blocks = tk // block_k
+    j = pl.program_id(2)
+    n_k = pl.num_programs(2)
 
-    def body(i, carry):
-        m, l, acc = carry
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-        s = jnp.where(col < kv_len, s, _NEG)
-        m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + p.sum(axis=1, keepdims=True)
-        acc_new = alpha * acc + jnp.dot(p, vb, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype))
-        return m_new, l_new, acc_new
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    tq, dh = q.shape
-    m0 = jnp.full((tq, 1), _NEG, jnp.float32)
-    l0 = jnp.zeros((tq, 1), jnp.float32)
-    acc0 = jnp.zeros((tq, dh), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)  # (Tq, 1): keep 2-D for Mosaic
+    q = q_ref[0]  # (block_q, Dh), pre-scaled
+    kb = k_ref[0]  # (block_k, Dh)
+    vb = v_ref[0]
+    s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32,
+                precision=_prec(q_ref.dtype))
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, _NEG)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_ref[:] = m_new
+    l_ref[:] = alpha * l_ref[:] + p.sum(axis=1, keepdims=True)
+    acc_ref[:] = alpha * acc_ref[:] + jnp.dot(
+        p, vb, preferred_element_type=jnp.float32, precision=_prec(q_ref.dtype)
+    )
+
+    @pl.when(j == n_k - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])  # (block_q, 1)
 
 
 def _flash_fwd(q, k, v, block_q, block_k):
@@ -102,31 +114,39 @@ def _flash_fwd(q, k, v, block_q, block_k):
     vp = jnp.pad(v, ((0, 0), (0, tk_pad), (0, 0)))
     tqp, tkp = tq + tq_pad, tk + tk_pad
 
-    grid = (bh, tqp // block_q)
+    grid = (bh, tqp // block_q, tkp // block_k)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, dh), lambda b, i, *_: (b, i, 0),
+                pl.BlockSpec((1, block_q, dh), lambda b, i, j, *_: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tkp, dh), lambda b, i, *_: (b, 0, 0),
+                pl.BlockSpec((1, block_k, dh), lambda b, i, j, *_: (b, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tkp, dh), lambda b, i, *_: (b, 0, 0),
+                pl.BlockSpec((1, block_k, dh), lambda b, i, j, *_: (b, j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_q, dh), lambda b, i, *_: (b, i, 0),
+                pl.BlockSpec((1, block_q, dh), lambda b, i, j, *_: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, 1), lambda b, i, *_: (b, i, 0),
+                pl.BlockSpec((1, block_q, 1), lambda b, i, j, *_: (b, i, 0),
                              memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+                pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
+                pltpu.VMEM((block_q, dh), jnp.float32),  # accumulator
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bh, tqp, dh), q.dtype),
             jax.ShapeDtypeStruct((bh, tqp, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_interpret(),
     )(kv_len, qp, kp, vp)
     return o[:, :tq], lse  # lse stays block-padded (bh, tqp, 1) for the bwd
