@@ -319,9 +319,13 @@ class Trainer:
                     f"CE {te[1]:.4f} Con {te[2]:.4f} Acc {te[3]:.4f}"
                 )
             if self.early.step(te[0]):
+                # model-only variables (Tester-loadable); the trainer-level
+                # contrastive weight is a separate param group exactly like
+                # the reference, whose model.state_dict() excludes it
                 save_checkpoint(
                     f"{self.checkpoint_dir}/best_model.msgpack",
-                    {"params": self.params, "batch_stats": self.batch_stats},
+                    {"params": self.params["model"],
+                     "batch_stats": self.batch_stats},
                 )
             if self.early.should_stop:
                 if self.verbose:
@@ -337,6 +341,7 @@ class Trainer:
                 )
                 save_checkpoint(
                     f"{self.checkpoint_dir}/{name}",
-                    {"params": self.params, "batch_stats": self.batch_stats},
+                    {"params": self.params["model"],
+                     "batch_stats": self.batch_stats},
                 )
                 break

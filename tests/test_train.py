@@ -366,3 +366,39 @@ class TestCheckpointResume:
         m1 = tr.train_epoch_phase("eeg")
         m2 = tr2.train_epoch_phase("eeg")
         np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-6)
+
+    def test_trainer_best_checkpoint_loads_into_tester(self, tmp_path, rng):
+        from multimodal_sentiment_aanalysis_tpu.data import DeviceDataset
+        from multimodal_sentiment_aanalysis_tpu.eval import Tester
+        from multimodal_sentiment_aanalysis_tpu.models import (
+            MultimodalTransformerModel,
+        )
+        from multimodal_sentiment_aanalysis_tpu.train import Trainer
+
+        n = 16
+        arrays = {
+            "eeg": rng.normal(size=(n, 32, 64)).astype(np.float32),
+            "eye": rng.normal(size=(n, 38)).astype(np.float32),
+            "pps": rng.normal(size=(n, 230)).astype(np.float32),
+            "arousal": rng.integers(0, 3, n).astype(np.int64),
+            "valence": rng.integers(0, 3, n).astype(np.int64),
+        }
+        ds = DeviceDataset(arrays)
+        model = MultimodalTransformerModel(feat_dim=32, eeg_time=64)
+        tr = Trainer(model, ds, ds, batch_size=8, checkpoint_dir=str(tmp_path),
+                     verbose=False)
+        tr.train_epoch(1)
+        te = tr.test()
+        assert tr.early.step(te[0])  # first loss is an improvement
+        from multimodal_sentiment_aanalysis_tpu.utils.checkpoint import (
+            save_checkpoint,
+        )
+
+        save_checkpoint(
+            str(tmp_path / "best_model.msgpack"),
+            {"params": tr.params["model"], "batch_stats": tr.batch_stats},
+        )
+        tester = Tester(model, ds)
+        res = tester.run(model_path=str(tmp_path / "best_model.msgpack"),
+                         verbose=False, plot_dir=str(tmp_path))
+        assert 0.0 <= res["arousal"]["accuracy"] <= 1.0
