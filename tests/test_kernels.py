@@ -134,3 +134,40 @@ class TestFusedConvStem:
         np.testing.assert_allclose(
             np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-4
         )
+
+
+class TestFusedFusionHead:
+    def test_parity_vs_memhacl_modules(self, rng):
+        import flax.linen as nn
+
+        from multimodal_sentiment_aanalysis_tpu.kernels import (
+            fused_mha_fusion_head,
+        )
+        from multimodal_sentiment_aanalysis_tpu.models import (
+            MEMHACLClassifier,
+        )
+        from multimodal_sentiment_aanalysis_tpu.models.layers import (
+            MultiheadAttention,
+        )
+
+        f, heads, b = 64, 8, 37  # 37 exercises batch padding
+        xe = jnp.asarray(rng.normal(size=(b, f)).astype(np.float32))
+        xy = jnp.asarray(rng.normal(size=(b, f)).astype(np.float32))
+        xp = jnp.asarray(rng.normal(size=(b, f)).astype(np.float32))
+
+        mha = MultiheadAttention(f, heads)
+        feats = jnp.stack([xe, xy, xp], axis=1)
+        mha_vars = mha.init(jax.random.key(0), feats, feats, feats)
+        clf = MEMHACLClassifier(in_dim=f, hidden_dim=32)
+        h_ref = mha.apply(mha_vars, feats, feats, feats).mean(axis=1)
+        clf_vars = clf.init(jax.random.key(1), h_ref)
+        ref_a, ref_v = clf.apply(clf_vars, h_ref)
+
+        out_a, out_v = fused_mha_fusion_head(
+            xe, xy, xp, mha_vars["params"], clf_vars["params"],
+            num_heads=heads, block_b=16,
+        )
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v),
+                                   rtol=1e-4, atol=1e-5)
