@@ -71,7 +71,9 @@ def cmd_phased(args) -> None:
 
     model = MultimodalTransformerModel()
     trainer = None
+    tester = None
     results: dict[int, dict[str, float]] = {}
+    history: dict[int, dict] = {}
     for sid in _subject_range(args, n_subjects):
         tr_idx, te_idx = loso_split(n_subjects, ex_nums, sid)
         train_ds, test_ds = full.subset(tr_idx), full.subset(te_idx)
@@ -91,9 +93,47 @@ def cmd_phased(args) -> None:
             f"subject {sid}: arousal acc {final['a_acc']:.2%} "
             f"valence acc {final['v_acc']:.2%}"
         )
+        if args.history_dir:
+            from .eval import Myreport, Tester
+            from .eval.reporting import accumulate_confusion
+
+            variables = {"params": trainer.params,
+                         "batch_stats": trainer.batch_stats}
+            if tester is None:
+                tester = Tester(model, test_ds, variables=variables)
+            else:
+                # identical shapes: reuse the jitted predict across subjects
+                tester.test_data, tester.variables = test_ds, variables
+            r = tester.evaluate(verbose=False, plot_dir=args.checkpoint_dir)
+            preds = r["arousal"]["predictions"]
+            labels = r["arousal"]["labels"]
+            cm = accumulate_confusion(
+                preds, labels, np.zeros((3, 3), np.int64)
+            )
+            f1 = float(np.nan_to_num(Myreport().report_f1score(cm)).mean())
+            history[sid] = {
+                "epoch": sum(args.epochs),
+                "acc": float(r["arousal"]["accuracy"]),
+                "loss": float(r["arousal"]["loss"]),
+                "f1-score": f1,
+                "cm": cm,
+            }
     a = float(np.mean([r["a_acc"] for r in results.values()]))
     v = float(np.mean([r["v_acc"] for r in results.values()]))
     print(f"LOSO mean: arousal {a:.2%} valence {v:.2%}")
+    if args.history_dir and history:
+        import datetime
+
+        from .config import Config
+        from .eval.reporting import save_history
+
+        cfg = Config()
+        cfg.logging.log_dir = args.history_dir
+        path = save_history(
+            cfg, "HCI",
+            datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"), history,
+        )
+        print(f"history appended to {path}")
     if not args.no_plots:
         plot_subject_accuracies(
             [results[k]["a_acc"] for k in sorted(results)],
@@ -324,6 +364,9 @@ def main(argv: list[str] | None = None) -> None:
     _add_common(p)
     p.add_argument("--epochs", type=int, nargs=5, default=[50, 70, 50, 10, 100],
                    metavar=("E_EEG", "E_EYE", "E_PPS", "E2", "E3"))
+    p.add_argument("--history-dir", default=None,
+                   help="append per-experiment acc/F1/CM row to a history CSV "
+                        "in this directory (reference common/utils.py history)")
     p.set_defaults(fn=cmd_phased)
 
     p = sub.add_parser("simclr", help="contrastive pretrain + finetune LOSO")
