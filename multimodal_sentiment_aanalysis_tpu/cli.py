@@ -82,6 +82,7 @@ def cmd_phased(args) -> None:
                 model, train_ds, test_ds, test_person=sid,
                 checkpoint_dir=args.checkpoint_dir, seed=args.seed,
                 verbose=not args.quiet,
+                reset_optimizer_each_epoch=not args.no_reset_optimizer,
             )
         else:
             # shapes are identical across subjects: reuse compiled programs
@@ -367,6 +368,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--history-dir", default=None,
                    help="append per-experiment acc/F1/CM row to a history CSV "
                         "in this directory (reference common/utils.py history)")
+    p.add_argument("--no-reset-optimizer", action="store_true",
+                   help="keep Adam moments and plateau-scheduler state across "
+                        "epochs (the documented improvement over the "
+                        "reference's per-epoch optimizer rebuild quirk, "
+                        "MultiTaskTrainer.py:181,237,293,351,412)")
     p.set_defaults(fn=cmd_phased)
 
     p = sub.add_parser("simclr", help="contrastive pretrain + finetune LOSO")

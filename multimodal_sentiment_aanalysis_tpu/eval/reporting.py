@@ -39,6 +39,22 @@ def accumulate_confusion(preds, labels, conf_matrix):
     return conf_matrix
 
 
+def normalize_cm(cm: np.ndarray) -> np.ndarray:
+    """Transpose-then-row-normalize a confusion matrix, zeroing cells that
+    round to <1% (reference ``common/utils.py:245-256``).
+
+    The reference stores CMs with rows=predictions/cols=true (see
+    :func:`accumulate_confusion`); the transpose flips to rows=true before
+    normalizing, so each output row is the per-true-class prediction
+    distribution. Cells where ``int(v*100 + 0.5) == 0`` are zeroed so the
+    heatmap annotation layer stays legible.
+    """
+    cm = np.asarray(cm, dtype=float).T
+    cm = cm / cm.sum(axis=1, keepdims=True)
+    cm[np.floor(cm * 100 + 0.5).astype(int) == 0] = 0.0
+    return cm
+
+
 class Myreport:
     """Confusion-matrix-derived precision/recall/F1 report.
 

@@ -283,7 +283,10 @@ class Trainer:
         self.train_acc.append(acc)
         return avg_loss, avg_ce, avg_con, acc
 
-    def test(self) -> tuple[float, float, float, float]:
+    def _eval_metrics(self) -> tuple[float, float, float, float]:
+        """(loss, ce, contrastive, arousal-acc) over the test set, per-sample
+        means (documented deviation: the reference averages batch means
+        unweighted, ``Trainer.py:233-238``; the tail batch here is masked)."""
         plan_idx, plan_mask = self.test_data.epoch_plan(self.batch_size, shuffle=False)
         totals = jax.device_get(
             self._eval_fn(
@@ -295,15 +298,55 @@ class Trainer:
             )
         )
         n = max(float(totals["n"]), 1.0)
-        out = (
+        return (
             float(totals["loss"]) / n,
             float(totals["ce_loss"]) / n,
             float(totals["contrastive_loss"]) / n,
             float(totals["a_acc"]) / n,
         )
+
+    def test(self) -> tuple[float, float, float, float]:
+        out = self._eval_metrics()
         self.test_loss.append(out[0])
         self.test_acc.append(out[3])
         return out
+
+    def test_with_loaded_model(
+        self, model_path: str, report: bool = False
+    ) -> tuple[float, float, float, float]:
+        """Load a model checkpoint and re-evaluate the test set (reference
+        ``Trainer.py:192-243``): returns ``(avg_loss, avg_ce_loss,
+        avg_contrastive_loss, acc)`` and prints the same summary line.
+
+        The checkpoint holds model-only variables (what :meth:`run` saves,
+        matching the reference's ``model.state_dict()`` which excludes the
+        trainer-level contrastive weight). With ``report=True`` a per-class
+        classification report is additionally printed via the
+        :class:`~..eval.tester.Tester` (richer than the reference method).
+        """
+        from ..utils.checkpoint import load_checkpoint
+
+        target = {"params": self.params["model"], "batch_stats": self.batch_stats}
+        loaded = load_checkpoint(model_path, target)
+        self.params = {**self.params, "model": loaded["params"]}
+        self.batch_stats = loaded["batch_stats"]
+        loss, ce, con, acc = self._eval_metrics()
+        print(
+            f"Test Loss: {loss:.4f}, CE Loss: {ce:.4f}, "
+            f"Contrastive Loss: {con:.4f}, Acc: {acc:.4f}"
+        )
+        if report:
+            from ..eval.tester import Tester
+
+            Tester(
+                self.model,
+                self.test_data,
+                variables={
+                    "params": self.params["model"],
+                    "batch_stats": self.batch_stats,
+                },
+            ).evaluate(verbose=True, plot_dir=self.checkpoint_dir)
+        return loss, ce, con, acc
 
     def run(self, epochs: int, test_person: int) -> None:
         for epoch in range(1, epochs + 1):

@@ -187,6 +187,85 @@ class TestSingleTaskTrainer:
         w1 = float(tr.params["trainer"]["contrastive_weight"][0])
         assert w0 != w1  # the weight is in the optimizer's param group
 
+    def test_test_with_loaded_model(self, tiny_model, tiny_data, tmp_path, capsys):
+        """Engine-side re-evaluation of a saved checkpoint
+        (reference Trainer.py:192-243)."""
+        from multimodal_sentiment_aanalysis_tpu.train import Trainer
+        from multimodal_sentiment_aanalysis_tpu.utils.checkpoint import (
+            save_checkpoint,
+        )
+
+        train, test = tiny_data
+        tr = Trainer(
+            tiny_model, train, test, batch_size=16,
+            checkpoint_dir=str(tmp_path), verbose=False,
+        )
+        tr.train_epoch(1)
+        ref_metrics = tr._eval_metrics()
+        path = save_checkpoint(
+            str(tmp_path / "m.msgpack"),
+            {"params": tr.params["model"], "batch_stats": tr.batch_stats},
+        )
+        # perturb the live MODEL params; the load must restore the saved ones
+        # (the trainer-level contrastive weight is NOT in the checkpoint,
+        # matching the reference's model.state_dict() scope)
+        tr.params = {
+            "model": jax.tree.map(
+                lambda x: x + 1.0 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                tr.params["model"],
+            ),
+            "trainer": tr.params["trainer"],
+        }
+        loss, ce, con, acc = tr.test_with_loaded_model(path)
+        out = capsys.readouterr().out
+        assert "Test Loss:" in out and "Contrastive Loss:" in out
+        assert np.isfinite([loss, ce, con]).all()
+        np.testing.assert_allclose(
+            [loss, ce, con, acc], list(ref_metrics), rtol=1e-5
+        )
+
+
+class TestResetOptimizerFlag:
+    def _adam_count(self, opt_state) -> int:
+        counts = [
+            int(l)
+            for l in jax.tree.leaves(opt_state)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.integer)
+            and l.ndim == 0
+        ]
+        assert counts, "no step counter found in opt state"
+        return max(counts)
+
+    @pytest.mark.parametrize("reset", [True, False])
+    def test_moments_persist_across_epochs(self, tiny_model, tiny_data,
+                                           tmp_path, reset):
+        """reset=True re-inits Adam each epoch (reference quirk,
+        MultiTaskTrainer.py:181,237,293,351,412); False keeps moments —
+        visible in the Adam step counter after 2 epochs."""
+        from multimodal_sentiment_aanalysis_tpu.train import MultiTaskTrainer
+
+        train, test = tiny_data
+        tr = MultiTaskTrainer(
+            tiny_model, train, test, batch_size=16,
+            checkpoint_dir=str(tmp_path), verbose=False,
+            reset_optimizer_each_epoch=reset,
+        )
+        tr._run_phase("eeg", 2, "phase eeg")
+        nb = -(-len(train) // 16)
+        count = self._adam_count(tr._opt_state["eeg"])
+        assert count == (nb if reset else 2 * nb)
+
+    def test_cli_flag_wiring(self, monkeypatch):
+        from multimodal_sentiment_aanalysis_tpu import cli
+
+        seen = {}
+        monkeypatch.setattr(cli, "cmd_phased", lambda args: seen.update(vars(args)))
+        cli.main(["phased", "--synthetic", "--no-reset-optimizer"])
+        assert seen["no_reset_optimizer"] is True
+        seen.clear()
+        cli.main(["phased", "--synthetic"])
+        assert seen["no_reset_optimizer"] is False
+
 
 class TestSchedules:
     def test_plateau_reduces_after_patience(self):
