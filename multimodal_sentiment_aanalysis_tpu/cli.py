@@ -232,12 +232,18 @@ def cmd_vloso(args) -> None:
 
     arrays, ex_nums = _load_arrays(args)
     n_subjects = arrays["arousal"].shape[0] // ex_nums
+    mesh = None
+    if args.dp:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
     trainer = VectorizedLOSOTrainer(
         MultimodalTransformerModel(), DeviceDataset(arrays),
         n_subjects, ex_nums, seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else None,
+        mesh=mesh,
     )
-    res = trainer.run(args.epochs[0], verbose=not args.quiet)
+    res = trainer.run(args.epochs[0], verbose=not args.quiet, fused=args.fused)
     _write_results(args, {
         "mean_arousal_acc": res["mean_arousal_acc"],
         "mean_valence_acc": res["mean_valence_acc"],
@@ -393,6 +399,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--epochs", type=int, nargs=1, default=[100])
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (float32 master params)")
+    p.add_argument("--dp", action="store_true",
+                   help="shard the LOSO subject axis over all local devices "
+                        "(data-parallel scale-out; 1 device degenerates to "
+                        "the single-chip program)")
+    p.add_argument("--fused", action="store_true",
+                   help="compile all epochs into ONE program with on-device "
+                        "batch plans (no host work in the loop)")
     p.set_defaults(fn=cmd_vloso)
 
     p = sub.add_parser("memhacl", help="ME-MHACL pretrain + joint finetune")

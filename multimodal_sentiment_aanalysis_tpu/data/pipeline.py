@@ -107,7 +107,9 @@ def epoch_plan_on_device(
     """Jit-compiled epoch plan: shuffle + pad + mask entirely on device.
 
     Removes even the host-side permutation from the step path; used by the
-    fully-fused training loop.
+    fully-fused multi-epoch program
+    :meth:`..train.vloso.VectorizedLOSOTrainer.run_fused` (one ``lax.scan``
+    over epochs, plans drawn per epoch inside jit).
     """
     order = jax.random.permutation(key, n)
     n_batches = -(-n // batch_size)

@@ -15,6 +15,21 @@ clip, NaN skip-batch): each model has its own parameters, optimizer state,
 dropout stream, and per-subject shuffled index plan drawn from its own
 LOSO train rows — BatchNorm batch statistics therefore see only that
 model's rows, exactly as in the sequential loop.
+
+Scaling out (net-new vs the reference, which is single-device): pass a
+``jax.sharding.Mesh`` and the *subject* axis of every per-model state
+tensor is sharded over it — the natural data-parallel decomposition for
+LOSO (24 independent models / N devices). Because models are independent
+there are ZERO collectives; XLA runs each device's subject shard as plain
+SPMD, so an N-chip mesh is an embarrassingly parallel N-x scale-out and a
+1-chip mesh degenerates to the single-device program.
+
+Fused multi-epoch mode: :meth:`run_fused` compiles E epochs into ONE
+program — an outer ``lax.scan`` over epochs whose per-epoch batch plans are
+built on device by :func:`..data.pipeline.epoch_plan_on_device` (shuffle +
+wrap-pad + mask inside jit). This removes every host round-trip from the
+training loop and, unlike the host-plan path (which drops the tail partial
+batch), covers ALL train rows each epoch via the wrap-around mask.
 """
 
 from __future__ import annotations
@@ -25,15 +40,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..data.pipeline import DeviceDataset
+from ..data.pipeline import DeviceDataset, epoch_plan_on_device
 from ..data.splits import loso_split
 from ..ops.losses import masked_accuracy, masked_cross_entropy
 from .state import cast_floating, clip_by_global_norm, strong_typed
 
 
 class VectorizedLOSOTrainer:
-    """Trains one model per held-out subject, all at once."""
+    """Trains one model per held-out subject, all at once.
+
+    With ``mesh`` set, per-model state is sharded over the mesh's first
+    axis along the subject dimension (padded up to a device multiple; the
+    padding models train on subject-0's split and are sliced off every
+    result).
+    """
 
     def __init__(
         self,
@@ -47,6 +69,7 @@ class VectorizedLOSOTrainer:
         clip_norm: float = 1.0,
         seed: int = 42,
         compute_dtype: str | None = None,
+        mesh: Mesh | None = None,
     ):
         # compute_dtype='bfloat16' runs forward/backward in bf16 at native
         # MXU rate while AdamW keeps float32 master params; losses and
@@ -58,14 +81,33 @@ class VectorizedLOSOTrainer:
         self.batch_size = batch_size
         self.clip_norm = clip_norm
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
         self.host_rng = np.random.default_rng(seed)
 
-        # per-subject LOSO index tables; every split has identical shape
+        # subject axis padded to a device multiple when sharded over a mesh
+        if mesh is not None:
+            nd = int(mesh.devices.size)
+            self.n_total = n_subjects + ((-n_subjects) % nd)
+            axis = mesh.axis_names[0]
+            self._shard = NamedSharding(mesh, P(axis))
+            self._repl = NamedSharding(mesh, P())
+        else:
+            self.n_total = n_subjects
+            self._shard = self._repl = None
+
+        # per-subject LOSO index tables; every split has identical shape.
+        # Padding models (s >= n_subjects) reuse subject s % n_subjects.
         self.train_idx = np.stack(
-            [loso_split(n_subjects, ex_nums, s)[0] for s in range(n_subjects)]
+            [
+                loso_split(n_subjects, ex_nums, s % n_subjects)[0]
+                for s in range(self.n_total)
+            ]
         )  # (S, n_train)
         self.test_idx = np.stack(
-            [loso_split(n_subjects, ex_nums, s)[1] for s in range(n_subjects)]
+            [
+                loso_split(n_subjects, ex_nums, s % n_subjects)[1]
+                for s in range(self.n_total)
+            ]
         )  # (S, ex_nums)
 
         sample = {k: v[:2] for k, v in data.arrays.items()}
@@ -77,23 +119,36 @@ class VectorizedLOSOTrainer:
             )
             return variables["params"], variables.get("batch_stats", {})
 
-        keys = jax.random.split(jax.random.key(seed), n_subjects)
+        keys = jax.random.split(jax.random.key(seed), self.n_total)
         self.params, self.batch_stats = jax.vmap(init_one)(keys)
         self.params = {
             "model": self.params,
             "trainer": {
-                "contrastive_weight": jnp.ones((n_subjects, 1), jnp.float32)
+                "contrastive_weight": jnp.ones((self.n_total, 1), jnp.float32)
             },
         }
 
         self.tx = optax.adamw(lr, weight_decay=weight_decay)
         self.opt_state = strong_typed(jax.vmap(self.tx.init)(self.params))
         self.dropout_keys = jax.random.split(
-            jax.random.key(seed + 1), n_subjects
+            jax.random.key(seed + 1), self.n_total
         )
+
+        if mesh is not None:
+            # place the per-model state sharded once; out_shardings keep it
+            # sharded across epochs, so there is no resharding in the loop
+            put = lambda t: jax.tree.map(
+                lambda x: jax.device_put(x, self._shard), t
+            )
+            self.params = put(self.params)
+            self.batch_stats = put(self.batch_stats)
+            self.opt_state = put(self.opt_state)
+            self.dropout_keys = jax.device_put(self.dropout_keys, self._shard)
 
         self._train_epoch_fn = self._build_train_epoch()
         self._eval_fn = self._build_eval()
+        self._fused_fns: dict[int, Callable] = {}
+        self._fused_key = jax.random.key(seed + 2)
 
     # ------------------------------------------------------------------
     def _loss_fn(self, params, batch_stats, batch, key):
@@ -132,41 +187,49 @@ class VectorizedLOSOTrainer:
         }
         return loss, (new_bs, metrics)
 
-    def _build_train_epoch(self) -> Callable:
+    def _one_model_epoch(self, params, batch_stats, opt_state, key,
+                         plan_idx, plan_mask):
+        """Scan over one model's batches; plan_idx (nb, B) rows index the
+        shared dataset, plan_mask (nb, B) flags valid (non-wrap-pad) rows."""
         tx, clip_norm = self.tx, self.clip_norm
         arrays = self.data.arrays
 
-        def one_model_epoch(params, batch_stats, opt_state, key, plan_idx):
-            """Scan over this model's batches; plan_idx (nb, B) rows index
-            the shared dataset."""
+        def step(carry, xs):
+            params, batch_stats, opt_state, key = carry
+            idx, bmask = xs
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
+            batch["mask"] = bmask
+            key, dk = jax.random.split(key)
+            (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(params, batch_stats, batch, dk)
+            grads, _ = clip_by_global_norm(grads, clip_norm)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            ok = jnp.isfinite(loss)
+            sel = lambda new, old: jnp.where(ok, new, old)
+            params = jax.tree.map(sel, new_params, params)
+            opt_state = jax.tree.map(sel, new_opt, opt_state)
+            batch_stats = jax.tree.map(sel, new_bs, batch_stats)
+            metrics = jax.tree.map(lambda m: jnp.where(ok, m, 0.0), metrics)
+            return (params, batch_stats, opt_state, key), metrics
 
-            def step(carry, idx):
-                params, batch_stats, opt_state, key = carry
-                batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
-                batch["mask"] = jnp.ones(idx.shape[0], jnp.float32)
-                key, dk = jax.random.split(key)
-                (loss, (new_bs, metrics)), grads = jax.value_and_grad(
-                    self._loss_fn, has_aux=True
-                )(params, batch_stats, batch, dk)
-                grads, _ = clip_by_global_norm(grads, clip_norm)
-                updates, new_opt = tx.update(grads, opt_state, params)
-                new_params = optax.apply_updates(params, updates)
-                ok = jnp.isfinite(loss)
-                sel = lambda new, old: jnp.where(ok, new, old)
-                params = jax.tree.map(sel, new_params, params)
-                opt_state = jax.tree.map(sel, new_opt, opt_state)
-                batch_stats = jax.tree.map(sel, new_bs, batch_stats)
-                metrics = jax.tree.map(lambda m: jnp.where(ok, m, 0.0), metrics)
-                return (params, batch_stats, opt_state, key), metrics
+        (params, batch_stats, opt_state, key), ms = jax.lax.scan(
+            step, (params, batch_stats, opt_state, key), (plan_idx, plan_mask)
+        )
+        return params, batch_stats, opt_state, key, jax.tree.map(jnp.sum, ms)
 
-            (params, batch_stats, opt_state, key), ms = jax.lax.scan(
-                step, (params, batch_stats, opt_state, key), plan_idx
-            )
-            return params, batch_stats, opt_state, key, jax.tree.map(
-                jnp.sum, ms
-            )
-
-        return jax.jit(jax.vmap(one_model_epoch))
+    def _build_train_epoch(self) -> Callable:
+        fn = jax.vmap(self._one_model_epoch)
+        if self.mesh is None:
+            return jax.jit(fn)
+        # subject-sharded SPMD: every arg/out has a leading subject axis
+        s = self._shard
+        return jax.jit(
+            fn,
+            in_shardings=(s, s, s, s, s, s),
+            out_shardings=(s, s, s, s, s),
+        )
 
     def _build_eval(self) -> Callable:
         arrays = self.data.arrays
@@ -184,25 +247,31 @@ class VectorizedLOSOTrainer:
                 "v_acc": masked_accuracy(v, batch["valence"], ones),
             }
 
-        return jax.jit(jax.vmap(one_model_eval))
+        fn = jax.vmap(one_model_eval)
+        if self.mesh is None:
+            return jax.jit(fn)
+        s = self._shard
+        return jax.jit(fn, in_shardings=(s, s, s), out_shardings=s)
 
     # ------------------------------------------------------------------
-    def _epoch_plans(self) -> np.ndarray:
-        """Per-subject shuffled batch plans, (S, nb, B). Train rows per
-        subject are identical in count, so plans stack into one array;
-        the tail partial batch is dropped (full batches only keeps masks
-        out of the vmapped scan — at 460 rows and B=64 that drops <14%
-        per epoch, resampled every epoch)."""
+    def _epoch_plans(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-subject shuffled batch plans, (S, nb, B) + all-ones masks.
+        Train rows per subject are identical in count, so plans stack into
+        one array; the tail partial batch is dropped (full batches only
+        keeps masks trivial in the host path — at 460 rows and B=64 that
+        drops <14% per epoch, resampled every epoch; :meth:`run_fused`
+        covers the tail via wrap-pad masks instead)."""
         n_train = self.train_idx.shape[1]
         nb = n_train // self.batch_size
-        plans = np.empty((self.n_subjects, nb, self.batch_size), np.int32)
-        for s in range(self.n_subjects):
+        plans = np.empty((self.n_total, nb, self.batch_size), np.int32)
+        for s in range(self.n_total):
             order = self.host_rng.permutation(n_train)[: nb * self.batch_size]
             plans[s] = self.train_idx[s][order].reshape(nb, self.batch_size)
-        return plans
+        masks = np.ones_like(plans, np.float32)
+        return plans, masks
 
     def train_epoch(self) -> dict[str, np.ndarray]:
-        plans = jnp.asarray(self._epoch_plans())
+        plans, masks = self._epoch_plans()
         (
             self.params,
             self.batch_stats,
@@ -211,28 +280,106 @@ class VectorizedLOSOTrainer:
             totals,
         ) = self._train_epoch_fn(
             self.params, self.batch_stats, self.opt_state,
-            self.dropout_keys, plans,
+            self.dropout_keys, jnp.asarray(plans), jnp.asarray(masks),
         )
         totals = jax.device_get(totals)
         n = np.maximum(totals.pop("n"), 1.0)
-        return {k: v / n for k, v in totals.items()}
+        return {k: (v / n)[: self.n_subjects] for k, v in totals.items()}
+
+    # ------------------------------------------------------------------
+    def _build_fused(self, n_epochs: int) -> Callable:
+        """E epochs as ONE jitted program: scan over epochs, per-epoch
+        plans built on device (shuffle+wrap-pad+mask inside jit via
+        :func:`epoch_plan_on_device`) — zero host work in the loop."""
+        n_train = self.train_idx.shape[1]
+        bsz = self.batch_size
+        train_rows = jnp.asarray(self.train_idx)  # (S, n_train)
+        if self.mesh is not None:
+            train_rows = jax.device_put(train_rows, self._shard)
+        epoch_fn = jax.vmap(self._one_model_epoch)
+
+        def fused(params, batch_stats, opt_state, dkeys, plan_key):
+            def epoch_body(carry, ekey):
+                params, batch_stats, opt_state, dkeys = carry
+                subj_keys = jax.random.split(ekey, train_rows.shape[0])
+
+                def plan_one(k, rows):
+                    idx, m = epoch_plan_on_device(k, n_train, bsz)
+                    return rows[idx], m
+
+                plans, masks = jax.vmap(plan_one)(subj_keys, train_rows)
+                params, batch_stats, opt_state, dkeys, totals = epoch_fn(
+                    params, batch_stats, opt_state, dkeys, plans, masks
+                )
+                return (params, batch_stats, opt_state, dkeys), totals
+
+            ekeys = jax.random.split(plan_key, n_epochs)
+            (params, batch_stats, opt_state, dkeys), totals = jax.lax.scan(
+                epoch_body, (params, batch_stats, opt_state, dkeys), ekeys
+            )
+            return params, batch_stats, opt_state, dkeys, totals
+
+        if self.mesh is None:
+            return jax.jit(fused)
+        s, r = self._shard, self._repl
+        epoch_s = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+        return jax.jit(
+            fused,
+            in_shardings=(s, s, s, s, r),
+            out_shardings=(s, s, s, s, epoch_s),
+        )
+
+    def train_epochs_fused(self, n_epochs: int) -> dict[str, np.ndarray]:
+        """Run ``n_epochs`` epochs in one compiled program; returns per-epoch
+        per-subject mean metrics, (E, S) each. Plan shuffling uses an
+        on-device PRNG stream (deterministic in ``seed``, independent of the
+        host stream :meth:`train_epoch` consumes)."""
+        if n_epochs not in self._fused_fns:
+            self._fused_fns[n_epochs] = self._build_fused(n_epochs)
+        self._fused_key, k = jax.random.split(self._fused_key)
+        (
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            self.dropout_keys,
+            totals,
+        ) = self._fused_fns[n_epochs](
+            self.params, self.batch_stats, self.opt_state,
+            self.dropout_keys, k,
+        )
+        totals = jax.device_get(totals)
+        n = np.maximum(totals.pop("n"), 1.0)
+        return {k_: (v / n)[:, : self.n_subjects] for k_, v in totals.items()}
 
     def evaluate(self) -> dict[str, np.ndarray]:
         """Per-subject held-out accuracies, (S,) each."""
+        test_idx = jnp.asarray(self.test_idx)
         out = jax.device_get(
-            self._eval_fn(self.params, self.batch_stats, jnp.asarray(self.test_idx))
+            self._eval_fn(self.params, self.batch_stats, test_idx)
         )
-        return out
+        return {k: v[: self.n_subjects] for k, v in out.items()}
 
-    def run(self, epochs: int, verbose: bool = True) -> dict[str, float]:
+    def run(
+        self, epochs: int, verbose: bool = True, fused: bool = False
+    ) -> dict[str, float]:
         """Train all LOSO models; returns mean held-out accuracies."""
-        for epoch in range(1, epochs + 1):
-            tm = self.train_epoch()
+        if fused:
+            tm = self.train_epochs_fused(epochs)
             if verbose:
-                print(
-                    f"Epoch {epoch}: mean train loss {tm['loss'].mean():.4f} "
-                    f"a_acc {tm['a_acc'].mean():.2%}"
-                )
+                for e in range(epochs):
+                    print(
+                        f"Epoch {e + 1}: mean train loss "
+                        f"{tm['loss'][e].mean():.4f} "
+                        f"a_acc {tm['a_acc'][e].mean():.2%}"
+                    )
+        else:
+            for epoch in range(1, epochs + 1):
+                tm = self.train_epoch()
+                if verbose:
+                    print(
+                        f"Epoch {epoch}: mean train loss {tm['loss'].mean():.4f} "
+                        f"a_acc {tm['a_acc'].mean():.2%}"
+                    )
         ev = self.evaluate()
         result = {
             "mean_arousal_acc": float(ev["a_acc"].mean()),

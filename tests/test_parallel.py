@@ -68,6 +68,7 @@ def setup(mesh):
 
 
 class TestDPStep:
+    @pytest.mark.slow
     def test_dp_step_runs_and_replicates(self, mesh, setup):
         model, variables, batch, loss_fn = setup
         tx = optax.adamw(1e-4)
@@ -92,6 +93,7 @@ class TestDPStep:
         )
         assert delta > 0
 
+    @pytest.mark.slow
     def test_dp_matches_single_device_ce_grads(self, mesh, setup):
         """DP weighted-psum of per-shard CE grads == global-batch grads.
 
@@ -152,6 +154,7 @@ class TestGraftEntry:
         leaves = jax.tree.leaves(out)
         assert all(bool(jnp.isfinite(l).all()) for l in leaves)
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import sys
 
@@ -159,6 +162,57 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+class TestGSPMD:
+    def test_gspmd_step_matches_single_device(self, mesh, setup):
+        """The annotation-sharded flavor (XLA inserts the collectives) gives
+        the same updated params as a plain single-device step."""
+        from multimodal_sentiment_aanalysis_tpu.ops.losses import (
+            masked_cross_entropy,
+        )
+        from multimodal_sentiment_aanalysis_tpu.parallel.dp import (
+            gspmd_jit_step,
+        )
+
+        model, variables, batch, _ = setup
+        bs = variables.get("batch_stats", {})
+        tx = optax.sgd(1e-2)
+
+        def step_fn(state, batch):
+            params, opt_state = state
+
+            def loss(p):
+                outs = model.apply(
+                    {"params": p, "batch_stats": bs},
+                    batch["eeg"], batch["eye"], batch["pps"],
+                    labels=(batch["arousal"], batch["valence"], batch["mask"]),
+                    train=False,
+                )
+                return masked_cross_entropy(
+                    outs[0], batch["arousal"], batch["mask"]
+                )
+
+            loss_val, grads = jax.value_and_grad(loss)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_opt), {
+                "loss": loss_val
+            }
+
+        opt_state = tx.init(variables["params"])
+        state = (variables["params"], opt_state)
+        dist_step = gspmd_jit_step(step_fn, mesh)
+        (gspmd_params, _), gspmd_metrics = dist_step(state, batch)
+
+        (ref_params, _), ref_metrics = jax.jit(step_fn)(state, batch)
+        np.testing.assert_allclose(
+            float(gspmd_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(gspmd_params), jax.tree.leaves(ref_params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 class TestDPEval:

@@ -30,6 +30,7 @@ def trainer():
     )
 
 
+@pytest.mark.slow
 class TestVectorizedLOSO:
     def test_trains_all_models_independently(self, trainer):
         before = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.params)
@@ -52,6 +53,94 @@ class TestVectorizedLOSO:
         assert res["mean_arousal_acc"] > 0.5
 
 
+def _tiny_arrays(rng, n_subj=4, ex=8):
+    n = n_subj * ex
+    lab = rng.integers(0, 3, n)
+    return {
+        "eeg": rng.normal(size=(n, 32, 16)).astype(np.float32),
+        "eye": rng.normal(size=(n, 38)).astype(np.float32),
+        "pps": rng.normal(size=(n, 230)).astype(np.float32),
+        "arousal": lab.astype(np.int64),
+        "valence": rng.integers(0, 3, n).astype(np.int64),
+    }
+
+
+def _tiny_trainer(arrays, n_subj=4, ex=8, mesh=None):
+    return VectorizedLOSOTrainer(
+        MultimodalTransformerModel(feat_dim=16, eeg_time=16),
+        DeviceDataset(arrays), n_subj, ex, batch_size=8, seed=0, mesh=mesh,
+    )
+
+
+def test_epoch_plans_index_only_train_rows(rng):
+    """Fast (no training compile): host epoch plans draw only from each
+    model's own LOSO train rows, full batches, all-ones masks."""
+    arrays = _tiny_arrays(rng, n_subj=3)
+    t = _tiny_trainer(arrays, n_subj=3)
+    plans, masks = t._epoch_plans()
+    assert plans.shape == (3, 2, 8)  # 16 train rows, batch 8
+    assert masks.shape == plans.shape and (masks == 1.0).all()
+    for s in range(3):
+        assert set(plans[s].ravel()) <= set(t.train_idx[s])
+        assert not set(plans[s].ravel()) & set(t.test_idx[s])
+
+
+@pytest.mark.slow
+class TestShardedAndFused:
+    """Subject-axis DP sharding + the fused multi-epoch program."""
+
+    def test_dp_sharded_matches_single_device(self, rng):
+        """Sharding the subject axis over a mesh is pure SPMD scale-out:
+        params/metrics after 2 epochs match the unsharded program (up to
+        compiler reduction-order noise)."""
+        from multimodal_sentiment_aanalysis_tpu.parallel import make_mesh
+
+        arrays = _tiny_arrays(rng)
+        t_single = _tiny_trainer(arrays)
+        t_dp = _tiny_trainer(arrays, mesh=make_mesh(4))
+        for _ in range(2):
+            m1 = t_single.train_epoch()
+            m2 = t_dp.train_epoch()
+        np.testing.assert_allclose(m1["loss"], m2["loss"], atol=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(t_single.params), jax.tree.leaves(t_dp.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4
+            )
+        e1, e2 = t_single.evaluate(), t_dp.evaluate()
+        np.testing.assert_allclose(e1["a_acc"], e2["a_acc"], atol=1e-6)
+
+    def test_fused_epochs_deterministic(self, rng):
+        """The fused E-epoch program is deterministic in the seed and
+        returns per-epoch (E, S) metrics."""
+        arrays = _tiny_arrays(rng)
+        t1 = _tiny_trainer(arrays)
+        t2 = _tiny_trainer(arrays)
+        m1 = t1.train_epochs_fused(2)
+        m2 = t2.train_epochs_fused(2)
+        assert m1["loss"].shape == (2, 4)
+        assert np.isfinite(m1["loss"]).all()
+        np.testing.assert_array_equal(m1["loss"], m2["loss"])
+        for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_with_mesh_padding(self, rng):
+        """3 subjects on a 4-device mesh pad to 4 models; every result is
+        sliced back to the real subject count."""
+        from multimodal_sentiment_aanalysis_tpu.parallel import make_mesh
+
+        arrays = _tiny_arrays(rng, n_subj=3)
+        t = _tiny_trainer(arrays, n_subj=3, mesh=make_mesh(4))
+        assert t.n_total == 4
+        m = t.train_epochs_fused(2)
+        assert m["loss"].shape == (2, 3)
+        assert np.isfinite(m["loss"]).all()
+        ev = t.evaluate()
+        assert ev["a_acc"].shape == (3,)
+
+
+@pytest.mark.slow
 def test_bf16_compute_dtype(rng):
     n = 2 * 10
     lab = rng.integers(0, 3, n)
