@@ -7,12 +7,30 @@ published numbers are from its leave-one-subject-out experiment loop —
 The TPU-native equivalent trains all 24 LOSO models in ONE vmapped program
 (:class:`train.vloso.VectorizedLOSOTrainer`) over the device-resident
 dataset; throughput counts the same unit the reference's number counts —
-training samples consumed per second across the LOSO experiment.
+training samples consumed per second across the LOSO experiment. Since
+round 2 the timed program is the fused multi-epoch form (`run_fused`: one
+``lax.scan`` over epochs, on-device batch plans, full tail coverage via
+wrap-pad masks).
+
+Secondary configs (logged to stderr and carried in the JSON line's
+``extra`` field):
+
+- ``vloso_bf16``  — the same fused program with bfloat16 compute
+  (float32 master params), the native-MXU-rate path;
+- ``phased``      — single-subject phased-curriculum epoch throughput,
+  the reference's actual flagship workload
+  (``dataLoader/MultiTaskTrainer.py:556-673``);
+- ``serving``     — inference forward (``eval/serving.py``) latency and
+  throughput over a scan of distinct batches (distinct per invocation:
+  the TPU tunnel memoizes byte-identical executions, so pure-fn timing
+  loops must vary their inputs);
+- ``*_mfu``       — model FLOP utilization per config: XLA's own
+  ``compiled.cost_analysis()['flops']`` divided by elapsed time and the
+  chip's bf16 peak (conservative for the fp32 config).
 
 ``vs_baseline`` is the speedup over the 33.5 samples/s midpoint.
-A secondary single-model step throughput is logged to stderr.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
@@ -25,12 +43,205 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 33.5  # reference end-to-end LOSO training rate
 BATCH = 64
-WARMUP_EPOCHS = 2
 TIMED_EPOCHS = 20
+PHASED_WARM = 2
+PHASED_TIMED = 10
+SERVE_K = 100  # batches per serving scan
+
+# bf16 MXU peak per chip. v5e (TPU v5 lite): 197 TFLOP/s. Used for every
+# config's MFU (conservative for fp32, which can't exceed the bf16 rate).
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12}
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def _flops(lowered_or_compiled) -> float | None:
+    """FLOPs from XLA's cost analysis. NOTE: a ``while`` loop's body is
+    counted ONCE, not x trip-count, so this must be fed a program with NO
+    remaining loops (a single un-scanned train step / forward); the caller
+    multiplies by the step count. (On TPU the BiLSTM scan fully unrolls at
+    T<=128, so a single step is loop-free.)"""
+    try:
+        ca = lowered_or_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"]) if ca and "flops" in ca else None
+    except Exception:
+        return None
+
+
+def _train_step_flops(trainer) -> float | None:
+    """Analytic FLOPs of ONE vmapped train step (all LOSO models, one
+    batch each): lower the un-scanned step and read XLA's cost analysis —
+    no backend compile needed."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodal_sentiment_aanalysis_tpu.train.state import (
+        clip_by_global_norm,
+    )
+
+    arrays = trainer.data.arrays
+
+    def one(params, bs, opt, key, idx):
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
+        batch["mask"] = jnp.ones(idx.shape[0], jnp.float32)
+        (_, (nbs, _)), grads = jax.value_and_grad(
+            trainer._loss_fn, has_aux=True
+        )(params, bs, batch, key)
+        grads, _ = clip_by_global_norm(grads, trainer.clip_norm)
+        updates, nopt = trainer.tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), nbs, nopt
+
+    idx = jnp.zeros((trainer.n_total, trainer.batch_size), jnp.int32)
+    lowered = jax.jit(jax.vmap(one)).lower(
+        trainer.params, trainer.batch_stats, trainer.opt_state,
+        trainer.dropout_keys, idx,
+    )
+    return _flops(lowered)
+
+
+def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None):
+    """Compile the fused E-epoch LOSO program AOT, run one warm-up
+    invocation, then time one. Returns (samples/sec, mfu or None)."""
+    import jax
+
+    from multimodal_sentiment_aanalysis_tpu.train import VectorizedLOSOTrainer
+
+    trainer = VectorizedLOSOTrainer(
+        model_cls(), ds, n_subjects, 20, batch_size=BATCH,
+        compute_dtype=compute_dtype,
+    )
+    fused = trainer._build_fused(TIMED_EPOCHS)
+    args = (
+        trainer.params, trainer.batch_stats, trainer.opt_state,
+        trainer.dropout_keys, jax.random.key(7),
+    )
+    t0 = time.perf_counter()
+    compiled = fused.lower(*args).compile()
+    log(f"  compile: {time.perf_counter() - t0:.1f}s")
+    step_flops = _train_step_flops(trainer)
+
+    t0 = time.perf_counter()
+    p, bs, opt, dk, _ = compiled(*args)
+    jax.block_until_ready(p)
+    log(f"  warm-up invocation ({TIMED_EPOCHS} epochs): "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    p, bs, opt, dk, totals = compiled(p, bs, opt, dk, jax.random.key(8))
+    jax.block_until_ready(p)
+    elapsed = time.perf_counter() - t0
+
+    n_train = trainer.train_idx.shape[1]  # valid rows per model-epoch
+    nb = -(-n_train // trainer.batch_size)  # wrap-padded batches per epoch
+    samples = TIMED_EPOCHS * trainer.n_total * n_train
+    sps = samples / elapsed
+    total_flops = step_flops * nb * TIMED_EPOCHS if step_flops else None
+    mfu = total_flops / elapsed / peak if (total_flops and peak) else None
+    # keep trainer state for the sanity eval / serving weights
+    trainer.params, trainer.batch_stats = p, bs
+    log(f"  {TIMED_EPOCHS} epochs x {trainer.n_total} LOSO models in "
+        f"{elapsed:.3f}s -> {sps:.0f} samples/s"
+        + (f", MFU {mfu:.2%}" if mfu is not None else ""))
+    return sps, mfu, trainer
+
+
+def bench_phased(model_cls, full_ds, n_subjects, ex_nums):
+    """Single-subject phased-curriculum throughput (the reference's
+    flagship loop): epochs of the fusion_arousal phase, host-driven like
+    the real driver."""
+    import jax
+
+    from multimodal_sentiment_aanalysis_tpu.data.splits import loso_split
+    from multimodal_sentiment_aanalysis_tpu.train import MultiTaskTrainer
+
+    tr_idx, te_idx = loso_split(n_subjects, ex_nums, 0)
+    mt = MultiTaskTrainer(
+        model_cls(), full_ds.subset(tr_idx), full_ds.subset(te_idx),
+        verbose=False,
+    )
+    t0 = time.perf_counter()
+    for _ in range(PHASED_WARM):
+        mt.train_epoch_phase("fusion_arousal")
+    jax.block_until_ready(mt.params)
+    log(f"  compile+{PHASED_WARM} warm-up epochs: "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    n_train = len(tr_idx)
+    t0 = time.perf_counter()
+    for _ in range(PHASED_TIMED):
+        mt.train_epoch_phase("fusion_arousal")
+    jax.block_until_ready(mt.params)
+    elapsed = time.perf_counter() - t0
+    sps = PHASED_TIMED * n_train / elapsed
+    log(f"  {PHASED_TIMED} phased epochs in {elapsed:.3f}s -> "
+        f"{sps:.0f} samples/s")
+    return sps
+
+
+def bench_serving(trainer, ds, peak):
+    """Inference latency/throughput via one scan over SERVE_K distinct
+    gathered batches (device-resident pool; fresh index plan per
+    invocation so the tunnel cannot memoize)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_sentiment_aanalysis_tpu.eval.serving import (
+        build_serving_forward,
+    )
+
+    variables = {
+        "params": jax.tree.map(lambda x: x[0], trainer.params["model"]),
+        "batch_stats": jax.tree.map(lambda x: x[0], trainer.batch_stats),
+    }
+    fwd = build_serving_forward(variables)
+    arrays = ds.arrays
+
+    @jax.jit
+    def serve_many(idxs):  # (K, B) -> per-batch argmax predictions
+        def body(_, idx):
+            a, v = fwd(
+                jnp.take(arrays["eeg"], idx, axis=0),
+                jnp.take(arrays["eye"], idx, axis=0),
+                jnp.take(arrays["pps"], idx, axis=0),
+            )
+            return None, (a.argmax(-1), v.argmax(-1))
+
+        return jax.lax.scan(body, None, idxs)[1]
+
+    rng = np.random.default_rng(3)
+    plan = lambda: jnp.asarray(
+        rng.integers(0, ds.n, (SERVE_K, BATCH)).astype(np.int32)
+    )
+    lowered = serve_many.lower(plan())
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    log(f"  compile: {time.perf_counter() - t0:.1f}s")
+    # per-batch FLOPs from the un-scanned forward (see _flops note)
+    sample = {k: jnp.take(v, jnp.arange(BATCH), axis=0) for k, v in
+              arrays.items() if k in ("eeg", "eye", "pps")}
+    batch_flops = _flops(
+        jax.jit(fwd).lower(sample["eeg"], sample["eye"], sample["pps"])
+    )
+
+    jax.block_until_ready(compiled(plan()))  # warm-up, distinct plan
+    t0 = time.perf_counter()
+    out = compiled(plan())  # timed, another distinct plan
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    lat_ms = elapsed / SERVE_K * 1e3
+    sps = SERVE_K * BATCH / elapsed
+    mfu = (batch_flops * SERVE_K / elapsed / peak
+           if (batch_flops and peak) else None)
+    log(f"  {SERVE_K} batches of {BATCH} in {elapsed:.3f}s -> "
+        f"{lat_ms:.3f} ms/batch, {sps:.0f} samples/s"
+        + (f", MFU {mfu:.2%}" if mfu is not None else ""))
+    return lat_ms, sps, mfu
 
 
 def main() -> None:
@@ -44,10 +255,10 @@ def main() -> None:
     from multimodal_sentiment_aanalysis_tpu.models import (
         MultimodalTransformerModel,
     )
-    from multimodal_sentiment_aanalysis_tpu.train import VectorizedLOSOTrainer
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")
+    peak = PEAK_FLOPS.get(dev.device_kind)
 
     data = make_synthetic_hci_data(seed=42)
     feats, _ = assemble_features(
@@ -60,42 +271,61 @@ def main() -> None:
         "arousal": np.asarray(data["arousal_label"]).reshape(-1).astype(np.int64),
         "valence": np.asarray(data["valence_label"]).reshape(-1).astype(np.int64),
     }
-    n_subjects = arrays["arousal"].shape[0] // 20
+    ex_nums = 20
+    n_subjects = arrays["arousal"].shape[0] // ex_nums
     ds = DeviceDataset(arrays)
+    extra: dict[str, float] = {}
 
-    trainer = VectorizedLOSOTrainer(
-        MultimodalTransformerModel(), ds, n_subjects, 20, batch_size=BATCH
+    log("[1/4] fused vectorized-LOSO training, fp32 (headline)")
+    sps_fp32, mfu_fp32, trainer = bench_fused_vloso(
+        MultimodalTransformerModel, ds, n_subjects, peak
     )
+    if mfu_fp32 is not None:
+        extra["vloso_fp32_mfu_vs_bf16_peak"] = round(mfu_fp32, 4)
 
-    t0 = time.perf_counter()
-    for _ in range(WARMUP_EPOCHS):
-        trainer.train_epoch()
-    jax.block_until_ready(trainer.params)
-    log(f"compile+{WARMUP_EPOCHS} warm-up epochs: {time.perf_counter() - t0:.1f}s")
-
-    n_train = trainer.train_idx.shape[1]
-    samples_per_epoch = n_subjects * (n_train // BATCH) * BATCH
-    t0 = time.perf_counter()
-    for _ in range(TIMED_EPOCHS):
-        trainer.train_epoch()
-    jax.block_until_ready(trainer.params)
-    elapsed = time.perf_counter() - t0
-
-    samples_per_sec = TIMED_EPOCHS * samples_per_epoch / elapsed
-    log(
-        f"{TIMED_EPOCHS} epochs x {n_subjects} LOSO models "
-        f"(batch {BATCH}) in {elapsed:.3f}s -> {samples_per_sec:.0f} samples/s"
-    )
     ev = trainer.evaluate()
-    log(f"sanity eval: mean arousal acc {float(ev['a_acc'].mean()):.2%}")
+    acc = float(ev["a_acc"].mean())
+    log(f"  sanity eval: mean arousal acc {acc:.2%}")
+    extra["vloso_fp32_sanity_arousal_acc"] = round(acc, 4)
+
+    log("[2/4] fused vectorized-LOSO training, bf16 compute")
+    try:
+        sps_bf16, mfu_bf16, _ = bench_fused_vloso(
+            MultimodalTransformerModel, ds, n_subjects, peak,
+            compute_dtype="bfloat16",
+        )
+        extra["vloso_bf16_samples_per_sec"] = round(sps_bf16, 1)
+        if mfu_bf16 is not None:
+            extra["vloso_bf16_mfu"] = round(mfu_bf16, 4)
+    except Exception as e:  # never lose the headline to a secondary config
+        log(f"  bf16 config failed: {e!r}")
+
+    log("[3/4] phased-curriculum single-subject training")
+    try:
+        extra["phased_samples_per_sec"] = round(
+            bench_phased(MultimodalTransformerModel, ds, n_subjects, ex_nums), 1
+        )
+    except Exception as e:
+        log(f"  phased config failed: {e!r}")
+
+    log("[4/4] serving forward")
+    try:
+        lat_ms, serve_sps, serve_mfu = bench_serving(trainer, ds, peak)
+        extra["serving_latency_ms_b64"] = round(lat_ms, 3)
+        extra["serving_samples_per_sec"] = round(serve_sps, 1)
+        if serve_mfu is not None:
+            extra["serving_mfu"] = round(serve_mfu, 4)
+    except Exception as e:
+        log(f"  serving config failed: {e!r}")
 
     print(
         json.dumps(
             {
                 "metric": "e2e_loso_train_throughput_b64",
-                "value": round(samples_per_sec, 1),
+                "value": round(sps_fp32, 1),
                 "unit": "samples/sec/chip",
-                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+                "vs_baseline": round(sps_fp32 / BASELINE_SAMPLES_PER_SEC, 2),
+                "extra": extra,
             }
         )
     )
