@@ -75,25 +75,34 @@ class MultimodalTransformerModel(nn.Module):
     eye_dim: int = 38
     pps_dim: int = 230
     feat_dim: int = 256
+    # None keeps the reference's per-module rates (EEG 0.4, rest 0.3);
+    # a float overrides every site (0.0 = deterministic train forward,
+    # used by the backward/optimizer torch-parity test)
+    dropout: float | None = None
 
     def setup(self):
+        d_eeg = 0.4 if self.dropout is None else self.dropout
+        d = 0.3 if self.dropout is None else self.dropout
         self.eeg_net = EEGMultiScaleNet(
             in_channels=self.eeg_channels,
             time_len=self.eeg_time,
             feat_dim=self.feat_dim,
+            dropout=d_eeg,
         )
-        self.eye_net = Subnetwork(self.eye_dim, self.feat_dim)
-        self.pps_net = Subnetwork(self.pps_dim, self.feat_dim)
+        self.eye_net = Subnetwork(self.eye_dim, self.feat_dim, dropout=d)
+        self.pps_net = Subnetwork(self.pps_dim, self.feat_dim, dropout=d)
         self.cross_attn_e2p = CrossModalTransformer(self.feat_dim)
         self.cross_attn_p2e = CrossModalTransformer(self.feat_dim)
 
         f = self.feat_dim
         self.attn_w1 = nn.Dense(64, name="attn_w1")
         self.attn_w2 = nn.Dense(3, name="attn_w2")
-        self.fusion = _BNTrunk(widths=(f, 128), name="fusion_stack")
-        self.arousal_head = _BNHead((128,), self.num_classes, name="arousal_head")
+        self.fusion = _BNTrunk(widths=(f, 128), dropout=d, name="fusion_stack")
+        self.arousal_head = _BNHead(
+            (128,), self.num_classes, dropout=d, name="arousal_head"
+        )
         self.valence_head = _BNHead(
-            (256, 256, 128, 64), self.num_classes, name="valence_head"
+            (256, 256, 128, 64), self.num_classes, dropout=d, name="valence_head"
         )
         self.contrastive_weight = self.param(
             "contrastive_weight", nn.initializers.ones, (1,)

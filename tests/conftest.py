@@ -27,6 +27,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Every test not marked ``slow`` gets ``fast``, so ``pytest -m fast``
+    is a <5-min subset that still touches every package module."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def hci_data():
     from multimodal_sentiment_aanalysis_tpu.data import make_synthetic_hci_data

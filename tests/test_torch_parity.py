@@ -280,3 +280,193 @@ class TestLossParity:
             jnp.asarray(labels.numpy()), 0.1,
         )
         np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+@pytest.mark.slow
+class TestBackwardOptimizerParity:
+    """One full-model training step vs torch: CE+contrastive loss backward,
+    global-norm clip 1.0, AdamW(1e-4, wd 0.01) — gradients AND updated
+    params must agree (reference ``Trainer.py:63-81``,
+    ``MultimodalModel.py:232-260``). Dropout off, train-mode BatchNorm."""
+
+    def test_full_model_adamw_step_matches_torch(self):
+        import optax
+        import test_full_model_parity as fmp
+        import torch.nn as tnn
+        import torch.nn.functional as tF
+
+        from multimodal_sentiment_aanalysis_tpu.models import (
+            MultimodalTransformerModel,
+        )
+        from multimodal_sentiment_aanalysis_tpu.ops.losses import (
+            masked_cross_entropy,
+            supervised_infonce,
+        )
+        from multimodal_sentiment_aanalysis_tpu.train.state import (
+            clip_by_global_norm,
+        )
+
+        torch.manual_seed(3)
+        tm = fmp.TorchFullModel().train()
+        with torch.no_grad():
+            for mod in tm.modules():
+                if isinstance(mod, tnn.BatchNorm1d):
+                    mod.running_mean.normal_(0, 0.2)
+                    mod.running_var.uniform_(0.5, 1.5)
+        # dropout off everywhere (incl. attention-prob dropout), BN stays
+        # in train mode (batch statistics)
+        for mod in tm.modules():
+            if isinstance(mod, tnn.Dropout):
+                mod.p = 0.0
+            if isinstance(mod, tnn.MultiheadAttention):
+                mod.dropout = 0.0
+
+        temp = tnn.Parameter(torch.tensor(0.01))
+        model_cw = tnn.Parameter(torch.ones(1))
+        trainer_cw = tnn.Parameter(torch.ones(1))
+        tparams = list(tm.parameters()) + [temp, model_cw, trainer_cw]
+
+        rng = np.random.default_rng(1)
+        B = 8
+        eeg = rng.normal(size=(B, 32, 585)).astype(np.float32)
+        eye = rng.normal(size=(B, 38)).astype(np.float32)
+        pps = rng.normal(size=(B, 230)).astype(np.float32)
+        lab_a = rng.integers(0, 3, B)
+        lab_v = rng.integers(0, 3, B)
+
+        def torch_infonce(feat, labels, t):
+            f = tF.normalize(feat, dim=1)
+            sim = f @ f.T / t
+            pos = (labels[:, None] == labels[None, :]).float()
+            pos = pos * (1.0 - torch.eye(len(labels)))
+            sim = sim - sim.max(dim=1, keepdim=True).values
+            e = sim.exp()
+            return (
+                -torch.log((e * pos).sum(1) + 1e-12)
+                + torch.log(e.sum(1) + 1e-12)
+            ).mean()
+
+        te, ty, tp = (torch.from_numpy(x) for x in (eeg, eye, pps))
+        tla = torch.from_numpy(lab_a)
+        fe = tm.eeg_net(te)
+        fy = tm.eye_net(ty)
+        fp = tm.pps_net(tp)
+        ey = tm.cross_e2p(fe, fy, fy)
+        pp = tm.cross_p2e(fe, fp, fp)
+        concat = torch.cat([fe, fy, fp], dim=1)
+        w = torch.softmax(tm.attn_w2(tm.act(tm.attn_w1(concat))), dim=1)
+        fused = torch.cat(
+            [fe * w[:, 0:1], ey * w[:, 1:2], pp * w[:, 2:3]], dim=1
+        )
+        fused = tm.fusion(fused)
+        ta = tm.arousal_out(tm.arousal_trunk(fused))
+        tv = tm.valence_out(tm.valence_trunk(fused))
+        ce = tF.cross_entropy(ta, tla) + tF.cross_entropy(
+            tv, torch.from_numpy(lab_v)
+        )
+        con = model_cw[0] * (
+            torch_infonce(fe, tla, temp)
+            + torch_infonce(fy, tla, temp)
+            + torch_infonce(fp, tla, temp)
+        )
+        tloss = ce + trainer_cw[0] * con
+        tloss.backward()
+        torch.nn.utils.clip_grad_norm_(tparams, 1.0)
+
+        def extract_model_tree():
+            return {
+                "eeg_net": fmp._eeg_params(tm.eeg_net),
+                "eye_net": fmp._subnetwork_params(tm.eye_net),
+                "pps_net": fmp._subnetwork_params(tm.pps_net),
+                "cross_attn_e2p": fmp._cross_params(tm.cross_e2p),
+                "cross_attn_p2e": fmp._cross_params(tm.cross_p2e),
+                "attn_w1": fmp._dense(tm.attn_w1),
+                "attn_w2": fmp._dense(tm.attn_w2),
+                "fusion_stack": fmp._trunk_params(tm.fusion),
+                "arousal_head": {"trunk": fmp._trunk_params(tm.arousal_trunk),
+                                 "out": fmp._dense(tm.arousal_out)},
+                "valence_head": {"trunk": fmp._trunk_params(tm.valence_trunk),
+                                 "out": fmp._dense(tm.valence_out)},
+                "contrastive_weight": fmp._np(model_cw),
+                "temperature": fmp._np(temp).reshape(()),
+            }
+
+        def full_tree():
+            return {
+                "model": extract_model_tree(),
+                "trainer": {"contrastive_weight": fmp._np(trainer_cw)},
+            }
+
+        params0 = jax.tree.map(np.copy, full_tree())
+        # read clipped grads through the same extractors by temporarily
+        # swapping each parameter's data for its grad
+        with torch.no_grad():
+            saved = [p.data.clone() for p in tparams]
+            for p in tparams:
+                p.data = p.grad.clone()
+            tgrads = jax.tree.map(np.copy, full_tree())
+            for p, s in zip(tparams, saved):
+                p.data = s
+
+        opt = torch.optim.AdamW(tparams, lr=1e-4, weight_decay=0.01)
+        opt.step()
+        tparams1 = jax.tree.map(np.copy, full_tree())
+
+        # --- JAX side: identical objective (engine Trainer._loss_fn) -----
+        batch_stats = {
+            "eeg_net": {"bn1": fmp._bn_stats(tm.eeg_net.bn1),
+                        "bn2": fmp._bn_stats(tm.eeg_net.bn2)},
+            "fusion_stack": fmp._trunk_stats(tm.fusion),
+            "arousal_head": {"trunk": fmp._trunk_stats(tm.arousal_trunk)},
+            "valence_head": {"trunk": fmp._trunk_stats(tm.valence_trunk)},
+        }
+        model = MultimodalTransformerModel(dropout=0.0)
+        ones = jnp.ones(B, jnp.float32)
+
+        def loss_fn(params):
+            outs, _ = model.apply(
+                {"params": params["model"], "batch_stats": batch_stats},
+                eeg, eye, pps,
+                labels=(jnp.asarray(lab_a), jnp.asarray(lab_v), ones),
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(0)},
+            )
+            a, v, c1, c2, c3 = outs
+            ce = masked_cross_entropy(jnp.nan_to_num(a), lab_a, ones) + \
+                masked_cross_entropy(jnp.nan_to_num(v), lab_v, ones)
+            return ce + params["trainer"]["contrastive_weight"][0] * (
+                c1 + c2 + c3
+            )
+
+        jgrads = jax.grad(loss_fn)(params0)
+        jgrads, _ = clip_by_global_norm(jgrads, 1.0)
+
+        # gradient agreement (the strong statement: full-model backward
+        # through conv/BN-train/BiLSTM/MHA/InfoNCE matches torch autograd)
+        flat_t = jax.tree_util.tree_flatten_with_path(tgrads)[0]
+        flat_j = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_flatten_with_path(jgrads)[0]}
+        gmax = max(float(np.abs(v).max()) for _, v in flat_t)
+        for k, tg in flat_t:
+            ks = jax.tree_util.keystr(k)
+            np.testing.assert_allclose(
+                flat_j[ks], tg, atol=2e-5 * max(gmax, 1.0), rtol=2e-3,
+                err_msg=f"grad mismatch at {ks}",
+            )
+
+        tx = optax.adamw(1e-4, weight_decay=0.01)
+        updates, _ = tx.update(jgrads, tx.init(params0), params0)
+        jparams1 = optax.apply_updates(params0, updates)
+
+        # updated-param agreement. First-step AdamW moves every param by
+        # ~±lr·sign(g); where |g| is at float-noise scale the sign can
+        # legitimately differ between frameworks, so the tolerance is a
+        # fraction of lr on top of exact agreement.
+        for (k, tp1), jp1 in zip(
+            jax.tree_util.tree_flatten_with_path(tparams1)[0],
+            jax.tree.leaves(jparams1),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(jp1), tp1, atol=2.5e-4,
+                err_msg=f"param mismatch at {jax.tree_util.keystr(k)}",
+            )

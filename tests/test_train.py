@@ -96,6 +96,7 @@ class TestMultiTask:
             verbose=False,
         )
 
+    @pytest.mark.slow
     def test_phase_eeg_updates_only_eeg(self, trainer):
         p_before = jax.device_get(trainer.params)
         trainer.schedulers["eeg"] = __import__(
@@ -143,6 +144,7 @@ class TestMultiTask:
         for k in ("loss", "a_loss", "v_loss", "c_loss", "a_acc", "v_acc"):
             assert k in m and np.isfinite(m[k])
 
+    @pytest.mark.slow
     def test_short_run_saves_checkpoint_and_plot(self, trainer):
         import glob
         import os
@@ -155,6 +157,7 @@ class TestMultiTask:
 
 
 class TestSingleTaskTrainer:
+    @pytest.mark.slow
     def test_run_with_early_stop_and_ckpt(self, tiny_model, tiny_data, tmp_path):
         from multimodal_sentiment_aanalysis_tpu.train import Trainer
 
@@ -187,6 +190,7 @@ class TestSingleTaskTrainer:
         w1 = float(tr.params["trainer"]["contrastive_weight"][0])
         assert w0 != w1  # the weight is in the optimizer's param group
 
+    @pytest.mark.slow
     def test_test_with_loaded_model(self, tiny_model, tiny_data, tmp_path, capsys):
         """Engine-side re-evaluation of a saved checkpoint
         (reference Trainer.py:192-243)."""
@@ -236,6 +240,7 @@ class TestResetOptimizerFlag:
         assert counts, "no step counter found in opt state"
         return max(counts)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("reset", [True, False])
     def test_moments_persist_across_epochs(self, tiny_model, tiny_data,
                                            tmp_path, reset):
@@ -311,6 +316,7 @@ class TestCheckpoint:
         assert strip_module_prefix(d2) == d2
 
 
+@pytest.mark.slow
 class TestSimCLREngines:
     def test_pretrain_and_finetune(self, tiny_data):
         from multimodal_sentiment_aanalysis_tpu.data import build_contrastive_pairs
@@ -377,6 +383,7 @@ class TestProfilingUtils:
         assert t.rate(64) > 0
 
 
+@pytest.mark.slow
 class TestCheckpointResume:
     def test_trainer_save_restore_roundtrip(self, tmp_path, rng):
         from multimodal_sentiment_aanalysis_tpu.data import DeviceDataset
