@@ -1,0 +1,372 @@
+"""Fused bidirectional-LSTM recurrence Pallas kernel (training hot path).
+
+The EEG stem's 2-layer BiLSTM (reference ``MultimodalModel.py:49-55``) is
+the profiled bottleneck of the train step: 25.2 ms fwd+bwd of a ~65 ms fp32
+step at the real vmapped shape (S=24 LOSO models, B=64, T=73, H=128 —
+``scripts/profile_lstm.py``). The recurrence is 73 sequential steps of
+SMALL per-model matmuls ((64,128)@(128,512)): XLA runs them as a scan whose
+hidden state round-trips HBM every step, and under the vectorized-LOSO
+``vmap`` the batched matmuls serialize.
+
+This kernel runs the whole recurrence (both directions, ALL vmapped models)
+as ONE Pallas program: grid ``(2, T)`` with time innermost, every model's
+``h``/``c`` carried in float32 VMEM scratch across grid steps (never
+touching HBM), the precomputed input projections ``xp`` streamed in per
+step and the hidden sequence streamed out. Two structural tricks:
+
+- Direction 1's time reversal is free — it lives in the BlockSpec index
+  maps, so no flipped copies of ``xp``/``h_seq`` are ever materialized.
+- The model axis S lives INSIDE the block (a ``fori_loop`` of per-model
+  MXU dots per time step), not in the grid: a ``jax.custom_batching.
+  custom_vmap`` rule turns the trainer's ``vmap`` (which batches weights
+  AND activations) into the S-aware kernel instead of Pallas's default
+  sequential grid axis. The time chain is 73 links total instead of
+  S*2*73. ``custom_vjp`` sits OUTSIDE the ``custom_vmap`` wrappers, so
+  reverse-mode AD never differentiates through ``custom_vmap`` (it sees
+  only the custom VJP pair, whose fwd/bwd bodies get batch-traced).
+
+Scope: only the recurrence is in-kernel. The big input projection
+``x @ W_ih^T`` (MXU-friendly at full (B*T, I) width) and the weight/input
+gradients (large batched matmuls) stay in XLA, which already runs them at
+MXU rate. The backward kernel walks time in reverse, recomputing the gates
+from ``xp + h_prev`` (one extra dot beats storing 4H-wide activations) and
+emits per-step gate gradients; ``dW_hh``/``dx`` reduce from those in XLA.
+
+Numerics: matmuls take ``preferred_element_type=float32``; ``h``/``c``
+accumulate in float32 even in bf16 compute mode (tighter than the jnp bf16
+path, which carries bf16 state). A/B parity vs :func:`..ops.rnn.
+bilstm_layer` is asserted in ``tests/test_kernels.py`` (interpret mode on
+CPU); dispatch (``ops/rnn.py``) sends non-TPU backends and unaligned
+shapes to the jnp path.
+
+A/B hardware timing, TPU v5e, real vmapped shape (S=24, B=64, T=73, I=256,
+H=128, 2 layers, chained-scan timing, ``scripts/bench_lstm_kernel.py``):
+
+===========  ==========  ============  =======
+config       jnp (XLA)   fused kernel  speedup
+===========  ==========  ============  =======
+fp32 fwd       10.00 ms     7.87 ms      1.27x
+fp32 f+bwd     25.21 ms    15.98 ms      1.58x
+bf16 fwd        7.12 ms     4.55 ms      1.56x
+bf16 f+bwd     15.47 ms    11.46 ms      1.35x
+===========  ==========  ============  =======
+
+(The first fused revision kept S in the Pallas grid — 3504 sequential
+grid steps — and managed only 18.4 ms fp32 f+bwd; moving S into the block
+bought the rest. Remaining gap to roofline is per-grid-step overhead on
+146 steps plus the B=64 half-tile MXU occupancy of the per-model dots.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _time_map(d, t, T):
+    """Actual-time index for direction d at recurrence step t (direction 1
+    runs over reversed time; the flip lives here, not in a copied array)."""
+    return jnp.where(d == 0, t, T - 1 - t)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, gates_scr):
+    """Grid (2, T), time innermost; the whole model axis S is in the block.
+
+    Blocks: xp (S,1,1,B,4H) at the direction's actual-time index;
+    whh (S,1,H,4H); outputs (S,1,1,B,H). h/c live in (S,B,H) float32
+    scratch across the T sweep and reset when a direction starts."""
+    t = pl.program_id(1)
+    S = h_scr.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    # per-model recurrent matmuls; a PYTHON loop (S is static) so every
+    # slice index is constant — Mosaic has no dynamic_slice lowering. The
+    # S dots are independent and pipeline back-to-back on the MXU.
+    for s in range(S):
+        gates_scr[s] = jax.lax.dot_general(
+            h_scr[s], whh_ref[s, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # vectorized gate math over all models at once (VPU)
+    gates = gates_scr[...] + xp_ref[:, 0, 0].astype(jnp.float32)
+    hidden = h_scr.shape[-1]
+    i = _sigmoid(gates[..., :hidden])
+    f = _sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = _sigmoid(gates[..., 3 * hidden:])
+    c = f * c_scr[...] + i * g
+    h = o * jnp.tanh(c)
+    h_scr[...] = h
+    c_scr[...] = c
+    hs_ref[:, 0, 0] = h.astype(hs_ref.dtype)
+    cs_ref[:, 0, 0] = c.astype(cs_ref.dtype)
+
+
+def _fwd_call(xp: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
+    """xp (S, 2, T, B, 4H) actual-time order; w_hh (S, 2, H, 4H).
+    Returns h_seq (S, 2, T, B, H), c_seq (same, float32), actual-time."""
+    S, _, T, B, G = xp.shape
+    H = G // 4
+
+    amap = lambda d, t: (0, d, _time_map(d, t, T), 0, 0)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(2, T),
+        in_specs=[
+            pl.BlockSpec((S, 1, 1, B, G), amap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, H, G), lambda d, t: (0, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, 1, 1, B, H), amap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, 1, B, H), amap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, 2, T, B, H), xp.dtype),
+            jax.ShapeDtypeStruct((S, 2, T, B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, B, H), jnp.float32),
+            pltpu.VMEM((S, B, H), jnp.float32),
+            pltpu.VMEM((S, B, G), jnp.float32),
+        ],
+        # all S models' blocks + scratch exceed the 16 MB default scoped-
+        # VMEM budget at the flagship shape (~22.5 MB incl. double
+        # buffering); v5e has 128 MB of VMEM — raise the cap
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(xp, w_hh)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
+                whh_ref, whht_ref, dxp_ref, dh_scr, dc_scr, gates_scr,
+                *, T: int):
+    """Grid (2, T): step tau walks the recurrence in reverse. Recomputes
+    the gates from xp + h_prev instead of storing them. Boundary (first
+    recurrence step) zeroes h_prev/c_prev."""
+    tau = pl.program_id(1)
+    S = dh_scr.shape[0]
+
+    @pl.when(tau == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    first = tau == T - 1  # recurrence step 0: no previous state
+    h_prev = jnp.where(first, 0.0, hprev_ref[:, 0, 0].astype(jnp.float32))
+    c_prev = jnp.where(first, 0.0, cprev_ref[:, 0, 0])
+
+    for s in range(S):  # static indices — see forward kernel note
+        gates_scr[s] = jax.lax.dot_general(
+            h_prev[s], whh_ref[s, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    gates = gates_scr[...] + xp_ref[:, 0, 0].astype(jnp.float32)
+    hidden = dh_scr.shape[-1]
+    i = _sigmoid(gates[..., :hidden])
+    f = _sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = _sigmoid(gates[..., 3 * hidden:])
+
+    dh = dh_ref[:, 0, 0].astype(jnp.float32) + dh_scr[...]
+    tc = jnp.tanh(ccur_ref[:, 0, 0])
+    do = dh * tc
+    dc = dc_scr[...] + dh * o * (1.0 - tc * tc)
+    di = dc * g
+    dg = dc * i
+    df = dc * c_prev
+    dc_scr[...] = dc * f
+
+    dgates = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    gates_scr[...] = dgates
+
+    for s in range(S):
+        dh_scr[s] = jax.lax.dot_general(
+            gates_scr[s], whht_ref[s, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dxp_ref[:, 0, 0] = dgates.astype(dxp_ref.dtype)
+
+
+def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
+    """Reverse sweep; returns dxp (S, 2, T, B, 4H), actual-time order."""
+    S, _, T, B, G = xp.shape
+    H = G // 4
+
+    # actual time of reverse step tau, per direction
+    a = lambda d, tau: _time_map(d, T - 1 - tau, T)
+    # actual time of the PREVIOUS recurrence step (clamped; the kernel
+    # zeroes it at the boundary)
+    prev = lambda d, tau: jnp.clip(
+        jnp.where(d == 0, a(d, tau) - 1, a(d, tau) + 1), 0, T - 1
+    )
+
+    amap = lambda d, tau: (0, d, a(d, tau), 0, 0)
+    pmap = lambda d, tau: (0, d, prev(d, tau), 0, 0)
+    wmap = lambda d, tau: (0, d, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, T=T),
+        grid=(2, T),
+        in_specs=[
+            pl.BlockSpec((S, 1, 1, B, H), amap, memory_space=pltpu.VMEM),  # dh
+            pl.BlockSpec((S, 1, 1, B, G), amap, memory_space=pltpu.VMEM),  # xp
+            pl.BlockSpec((S, 1, 1, B, H), pmap, memory_space=pltpu.VMEM),  # h_prev
+            pl.BlockSpec((S, 1, 1, B, H), amap, memory_space=pltpu.VMEM),  # c_cur
+            pl.BlockSpec((S, 1, 1, B, H), pmap, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),     # whh
+            pl.BlockSpec((S, 1, G, H), wmap, memory_space=pltpu.VMEM),     # whh^T
+        ],
+        out_specs=pl.BlockSpec((S, 1, 1, B, G), amap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, 2, T, B, G), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, B, H), jnp.float32),
+            pltpu.VMEM((S, B, H), jnp.float32),
+            pltpu.VMEM((S, B, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(dh_seq, xp, h_seq, c_seq, c_seq, w_hh, jnp.swapaxes(w_hh, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap wrappers: the trainer's vmap over models maps to the S axis
+# of ONE kernel launch instead of a sequential grid dimension
+# ---------------------------------------------------------------------------
+
+def _bcast(x, axis_size):
+    return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
+@functools.lru_cache(maxsize=2)
+def _make_vm(interpret: bool):
+    @custom_vmap
+    def vm_fwd(xp, w_hh):
+        # unbatched view: xp (2,T,B,4H), w_hh (2,H,4H)
+        h, c = _fwd_call(xp[None], w_hh[None], interpret)
+        return h[0], c[0]
+
+    @vm_fwd.def_vmap
+    def _vm_fwd_rule(axis_size, in_batched, xp, w_hh):
+        xp = xp if in_batched[0] else _bcast(xp, axis_size)
+        w_hh = w_hh if in_batched[1] else _bcast(w_hh, axis_size)
+        return _fwd_call(xp, w_hh, interpret), (True, True)
+
+    @custom_vmap
+    def vm_bwd(dh, xp, h, c, w_hh):
+        return _bwd_call(dh[None], xp[None], h[None], c[None], w_hh[None],
+                         interpret)[0]
+
+    @vm_bwd.def_vmap
+    def _vm_bwd_rule(axis_size, in_batched, dh, xp, h, c, w_hh):
+        args = [
+            v if b else _bcast(v, axis_size)
+            for v, b in zip((dh, xp, h, c, w_hh), in_batched)
+        ]
+        return _bwd_call(*args, interpret), True
+
+    return vm_fwd, vm_bwd
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP recurrence + layer wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def lstm_recurrence(xp, w_hh, interpret=False):
+    """Bidirectional LSTM recurrence.
+
+    xp: (2, T, B, 4H) input projections (+biases), actual-time order for
+    BOTH directions; w_hh: (2, H, 4H) recurrent weights (``w_hh_torch.T``).
+    Returns h_seq (2, T, B, H) in actual-time order. vmap over models
+    (weights and activations batched) maps onto the kernel's S axis.
+    """
+    h_seq, _ = _make_vm(interpret)[0](xp, w_hh)
+    return h_seq
+
+
+def _recurrence_fwd(xp, w_hh, interpret):
+    h_seq, c_seq = _make_vm(interpret)[0](xp, w_hh)
+    return h_seq, (xp, w_hh, h_seq, c_seq)
+
+
+def _recurrence_bwd(interpret, res, dh_seq):
+    xp, w_hh, h_seq, c_seq = res
+    dxp = _make_vm(interpret)[1](dh_seq, xp, h_seq, c_seq, w_hh)
+    # dW_hh[d] = sum_t h_prev(t)^T dgates(t); h_prev in actual time is
+    # h_seq shifted right for dir 0, left for dir 1 (zero at the boundary).
+    # Written axis-agnostically: shapes are (..., 2, T, B, H).
+    hf = h_seq.astype(jnp.float32)
+    h0 = jnp.take(hf, jnp.asarray([0]), axis=-4)  # dir-0 slice, (...,1,T,B,H)
+    h1 = jnp.take(hf, jnp.asarray([1]), axis=-4)
+    zed = jnp.zeros_like(jnp.take(h0, jnp.asarray([0]), axis=-3))
+    shift_r = jnp.concatenate(
+        [zed, jax.lax.slice_in_dim(h0, 0, -1, axis=-3)], axis=-3)
+    shift_l = jnp.concatenate(
+        [jax.lax.slice_in_dim(h1, 1, None, axis=-3), zed], axis=-3)
+    h_prev = jnp.concatenate([shift_r, shift_l], axis=-4)
+    dw_hh = jnp.einsum("...dtbh,...dtbg->...dhg", h_prev, dxp)
+    return dxp.astype(xp.dtype), dw_hh.astype(w_hh.dtype)
+
+
+lstm_recurrence.defvjp(_recurrence_fwd, _recurrence_bwd)
+
+
+def supported_shape(b: int, hidden: int) -> bool:
+    """Mosaic tiling wants sublane%8 and lane%128 alignment."""
+    return b % 8 == 0 and hidden % 128 == 0 and (4 * hidden) % 512 == 0
+
+
+def fused_bilstm_layer(
+    x: jnp.ndarray,
+    fwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    bwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for :func:`..ops.rnn.bilstm_layer` (same torch-layout params,
+    same (B, T, 2H) output): XLA computes the hoisted input projections,
+    the Pallas kernel runs the recurrence."""
+    (wif, whf, bif, bhf) = fwd
+    (wib, whb, bib, bhb) = bwd
+    xp_f = x @ wif.T + (bif + bhf)  # (B, T, 4H) — big MXU matmul in XLA
+    xp_b = x @ wib.T + (bib + bhb)
+    xp = jnp.stack([xp_f, xp_b]).transpose(0, 2, 1, 3)  # (2, T, B, 4H)
+    w_hh = jnp.stack([whf.T, whb.T])  # (2, H, 4H)
+    h_seq = lstm_recurrence(xp, w_hh, interpret)  # (2, T, B, H)
+    return jnp.concatenate(
+        [h_seq[0].transpose(1, 0, 2), h_seq[1].transpose(1, 0, 2)], axis=-1
+    )

@@ -71,6 +71,7 @@ def bilstm_layer(
     fwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     bwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     unroll: int | None = None,
+    use_fused: bool | None = None,
 ) -> jnp.ndarray:
     """Bidirectional layer: both directions fused into ONE lax.scan.
 
@@ -78,8 +79,25 @@ def bilstm_layer(
     flipped sequence; stacking the two directions along a leading axis lets a
     single scan carry a (2, B, H) state, halving scan overhead vs two scans.
     Output is (B, T, 2H) with torch's [forward, backward] concat order.
+
+    On TPU at Mosaic-aligned shapes this dispatches to the fused Pallas
+    recurrence (:mod:`..kernels.lstm` — h/c carried in VMEM across the
+    whole sweep, custom VJP; A/B table in that module's docstring). Off-TPU
+    and at unaligned shapes the scan path below runs; the kernel's parity
+    test pins the two together. ``use_fused`` forces the choice (the A/B
+    benchmark uses ``False`` for an honest XLA baseline).
     """
     b, t, _ = x.shape
+    hidden_ = fwd[1].shape[1]
+    if use_fused is None:
+        from ..kernels.lstm import supported_shape
+
+        use_fused = (jax.default_backend() == "tpu"
+                     and supported_shape(b, hidden_))
+    if use_fused:
+        from ..kernels.lstm import fused_bilstm_layer
+
+        return fused_bilstm_layer(x, fwd, bwd)
     (wif, whf, bif, bhf) = fwd
     (wib, whb, bib, bhb) = bwd
     hidden = whf.shape[1]

@@ -171,3 +171,84 @@ class TestFusedFusionHead:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestFusedBiLSTM:
+    """A/B parity: fused Pallas BiLSTM recurrence vs ops.rnn.bilstm_layer
+    (interpret mode on CPU; hardware timings in kernels/lstm.py docstring)."""
+
+    def _params(self, rng, i_dim, hidden):
+        mk = lambda s: jnp.asarray((0.3 * rng.normal(size=s)).astype(np.float32))
+        return tuple(
+            mk(s) for s in
+            [(4 * hidden, i_dim), (4 * hidden, hidden), (4 * hidden,), (4 * hidden,)]
+        )
+
+    def test_forward_parity(self, rng):
+        from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
+            fused_bilstm_layer,
+        )
+        from multimodal_sentiment_aanalysis_tpu.ops.rnn import bilstm_layer
+
+        B, T, I, H = 8, 7, 12, 128
+        fwd, bwd = self._params(rng, I, H), self._params(rng, I, H)
+        x = jnp.asarray(rng.normal(size=(B, T, I)).astype(np.float32))
+        ref = bilstm_layer(x, fwd, bwd)
+        got = fused_bilstm_layer(x, fwd, bwd, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_gradient_parity(self, rng):
+        from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
+            fused_bilstm_layer,
+        )
+        from multimodal_sentiment_aanalysis_tpu.ops.rnn import bilstm_layer
+
+        B, T, I, H = 8, 5, 12, 128
+        fwd, bwd = self._params(rng, I, H), self._params(rng, I, H)
+        x = jnp.asarray(rng.normal(size=(B, T, I)).astype(np.float32))
+
+        def loss(f, x, fw, bw):
+            return jnp.sum(jnp.sin(f(x, fw, bw)))
+
+        gr = jax.grad(loss, argnums=(1, 2, 3))(bilstm_layer, x, fwd, bwd)
+        gk = jax.grad(loss, argnums=(1, 2, 3))(
+            lambda a, b, c: fused_bilstm_layer(a, b, c, interpret=True),
+            x, fwd, bwd,
+        )
+        for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gk)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+    def test_vmap_grad_parity_per_model_weights(self, rng):
+        """The vectorized-LOSO pattern: vmap over models batches weights AND
+        activations; the kernel's pallas batching must produce per-model
+        grads equal to the scan path's."""
+        from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
+            fused_bilstm_layer,
+        )
+        from multimodal_sentiment_aanalysis_tpu.ops.rnn import bilstm_layer
+
+        S, B, T, I, H = 3, 8, 5, 12, 128
+        fwd, bwd = self._params(rng, I, H), self._params(rng, I, H)
+        fwds = tuple(jnp.stack([p + 0.01 * k for k in range(S)]) for p in fwd)
+        bwds = tuple(jnp.stack([p + 0.01 * k for k in range(S)]) for p in bwd)
+        xs = jnp.asarray(rng.normal(size=(S, B, T, I)).astype(np.float32))
+
+        def total(f, fw, bw):
+            return jnp.sum(jax.vmap(lambda a, b, c: jnp.sum(jnp.sin(f(a, b, c))))(xs, fw, bw))
+
+        gr = jax.grad(total, argnums=(1, 2))(bilstm_layer, fwds, bwds)
+        gk = jax.grad(total, argnums=(1, 2))(
+            lambda a, b, c: fused_bilstm_layer(a, b, c, interpret=True),
+            fwds, bwds,
+        )
+        for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gk)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+    def test_dispatch_gate(self):
+        from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
+            supported_shape,
+        )
+
+        assert supported_shape(64, 128)
+        assert not supported_shape(63, 128)  # sublane misaligned
+        assert not supported_shape(64, 96)   # lane misaligned
