@@ -24,9 +24,12 @@ Secondary configs (logged to stderr and carried in the JSON line's
   throughput over a scan of distinct batches (distinct per invocation:
   the TPU tunnel memoizes byte-identical executions, so pure-fn timing
   loops must vary their inputs);
-- ``*_mfu``       — model FLOP utilization per config: XLA's own
-  ``compiled.cost_analysis()['flops']`` divided by elapsed time and the
-  chip's bf16 peak (conservative for the fp32 config).
+- ``*_mfu``       — model FLOP utilization per config: XLA cost-analysis
+  FLOPs of the un-scanned step, lowered for the CPU backend (the axon TPU
+  backend's lowered cost_analysis yields nothing; the count is platform-
+  independent) with the Pallas LSTM dispatch off (cost analysis cannot
+  see into custom calls), divided by elapsed time and the chip's bf16
+  peak (conservative for the fp32 config).
 
 ``vs_baseline`` is the speedup over the 33.5 samples/s midpoint.
 
@@ -97,10 +100,22 @@ def _train_step_flops(trainer) -> float | None:
         return optax.apply_updates(params, updates), nbs, nopt
 
     idx = jnp.zeros((trainer.n_total, trainer.batch_size), jnp.int32)
-    lowered = jax.jit(jax.vmap(one)).lower(
-        trainer.params, trainer.batch_stats, trainer.opt_state,
-        trainer.dropout_keys, idx,
-    )
+    # Lower via the pure-XLA scan path (cost_analysis cannot count FLOPs
+    # inside the fused Pallas LSTM custom call; same math either way) and
+    # for the CPU backend (the axon TPU backend's lowered cost_analysis
+    # returns nothing / stalls — CPU HLO analysis runs locally and the
+    # FLOP count is platform-independent).
+    from multimodal_sentiment_aanalysis_tpu.ops import rnn as _rnn
+
+    old = _rnn.enable_fused_dispatch(False)
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            lowered = jax.jit(jax.vmap(one)).lower(
+                trainer.params, trainer.batch_stats, trainer.opt_state,
+                trainer.dropout_keys, idx,
+            )
+    finally:
+        _rnn.enable_fused_dispatch(old)
     return _flops(lowered)
 
 
@@ -221,12 +236,23 @@ def bench_serving(trainer, ds, peak):
     t0 = time.perf_counter()
     compiled = lowered.compile()
     log(f"  compile: {time.perf_counter() - t0:.1f}s")
-    # per-batch FLOPs from the un-scanned forward (see _flops note)
+    # per-batch FLOPs from the un-scanned forward (see _flops note). The
+    # serving graph embeds Pallas custom calls (conv stem, and the LSTM
+    # off-dispatch) that cost_analysis cannot see inside, so lower the
+    # pure-XLA eval forward of the same model instead — same logits, BN
+    # un-folded (a slight FLOP overcount, i.e. MFU reads conservative).
     sample = {k: jnp.take(v, jnp.arange(BATCH), axis=0) for k, v in
               arrays.items() if k in ("eeg", "eye", "pps")}
-    batch_flops = _flops(
-        jax.jit(fwd).lower(sample["eeg"], sample["eye"], sample["pps"])
-    )
+    from multimodal_sentiment_aanalysis_tpu.ops import rnn as _rnn
+
+    old = _rnn.enable_fused_dispatch(False)
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            batch_flops = _flops(jax.jit(
+                lambda e, y, p: trainer.model.apply(variables, e, y, p)
+            ).lower(sample["eeg"], sample["eye"], sample["pps"]))
+    finally:
+        _rnn.enable_fused_dispatch(old)
 
     jax.block_until_ready(compiled(plan()))  # warm-up, distinct plan
     t0 = time.perf_counter()

@@ -22,6 +22,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Global default for the TPU fused-kernel dispatch in :func:`bilstm_layer`.
+# bench.py turns it off around its FLOP-counting lowering: XLA's cost
+# analysis cannot see inside a Pallas custom call, so the analytic-MFU
+# lowering must take the pure-XLA scan path (same math, same FLOPs).
+_FUSED_DISPATCH_ENABLED = True
+
+
+def enable_fused_dispatch(on: bool) -> bool:
+    """Set the global fused-kernel dispatch default; returns the old value."""
+    global _FUSED_DISPATCH_ENABLED
+    old = _FUSED_DISPATCH_ENABLED
+    _FUSED_DISPATCH_ENABLED = bool(on)
+    return old
+
 
 def _lstm_scan(
     x_proj: jnp.ndarray,  # (T, B, 4H) precomputed input projections (+biases)
@@ -92,7 +106,8 @@ def bilstm_layer(
     if use_fused is None:
         from ..kernels.lstm import supported_shape
 
-        use_fused = (jax.default_backend() == "tpu"
+        use_fused = (_FUSED_DISPATCH_ENABLED
+                     and jax.default_backend() == "tpu"
                      and supported_shape(b, hidden_))
     if use_fused:
         from ..kernels.lstm import fused_bilstm_layer
