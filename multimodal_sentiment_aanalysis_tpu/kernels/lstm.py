@@ -16,14 +16,17 @@ step and the hidden sequence streamed out. Two structural tricks:
 
 - Direction 1's time reversal is free — it lives in the BlockSpec index
   maps, so no flipped copies of ``xp``/``h_seq`` are ever materialized.
-- The model axis S lives INSIDE the block (a ``fori_loop`` of per-model
-  MXU dots per time step), not in the grid: a ``jax.custom_batching.
-  custom_vmap`` rule turns the trainer's ``vmap`` (which batches weights
-  AND activations) into the S-aware kernel instead of Pallas's default
+- The model axis S lives INSIDE the block (one S-batched ``dot_general``
+  per time step), not in the grid: a ``jax.custom_batching.custom_vmap``
+  rule turns the trainer's ``vmap`` (which batches weights AND
+  activations) into the S-aware kernel instead of Pallas's default
   sequential grid axis. The time chain is 73 links total instead of
   S*2*73. ``custom_vjp`` sits OUTSIDE the ``custom_vmap`` wrappers, so
   reverse-mode AD never differentiates through ``custom_vmap`` (it sees
   only the custom VJP pair, whose fwd/bwd bodies get batch-traced).
+  The batched dot runs at the same speed as an unrolled per-model dot
+  loop (the MXU dependency chain is identical) but Mosaic compiles it
+  ~120x faster (3.7 s vs 451 s cold at the flagship shape).
 
 Scope: only the recurrence is in-kernel. The big input projection
 ``x @ W_ih^T`` (MXU-friendly at full (B*T, I) width) and the weight/input
@@ -82,32 +85,31 @@ def _time_map(d, t, T):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, gates_scr):
+def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
     """Grid (2, T), time innermost; the whole model axis S is in the block.
 
     Blocks: xp (S,1,1,B,4H) at the direction's actual-time index;
     whh (S,1,H,4H); outputs (S,1,1,B,H). h/c live in (S,B,H) float32
     scratch across the T sweep and reset when a direction starts."""
     t = pl.program_id(1)
-    S = h_scr.shape[0]
 
     @pl.when(t == 0)
     def _():
         h_scr[...] = jnp.zeros_like(h_scr)
         c_scr[...] = jnp.zeros_like(c_scr)
 
-    # per-model recurrent matmuls; a PYTHON loop (S is static) so every
-    # slice index is constant — Mosaic has no dynamic_slice lowering. The
-    # S dots are independent and pipeline back-to-back on the MXU.
-    for s in range(S):
-        gates_scr[s] = jax.lax.dot_general(
-            h_scr[s], whh_ref[s, 0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # all models' recurrent matmuls as ONE batched dot (S batch dim).
+    # Runtime matches a per-model unrolled loop (the MXU chain is the
+    # same) but Mosaic compiles this form ~120x faster (3.7 s vs 451 s
+    # for the 24-dot unrolled body at the flagship shape).
+    rec = jax.lax.dot_general(
+        h_scr[...], whh_ref[:, 0],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
     # vectorized gate math over all models at once (VPU)
-    gates = gates_scr[...] + xp_ref[:, 0, 0].astype(jnp.float32)
+    gates = rec + xp_ref[:, 0, 0].astype(jnp.float32)
     hidden = h_scr.shape[-1]
     i = _sigmoid(gates[..., :hidden])
     f = _sigmoid(gates[..., hidden:2 * hidden])
@@ -147,7 +149,6 @@ def _fwd_call(xp: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
         scratch_shapes=[
             pltpu.VMEM((S, B, H), jnp.float32),
             pltpu.VMEM((S, B, H), jnp.float32),
-            pltpu.VMEM((S, B, G), jnp.float32),
         ],
         # all S models' blocks + scratch exceed the 16 MB default scoped-
         # VMEM budget at the flagship shape (~22.5 MB incl. double
@@ -162,13 +163,12 @@ def _fwd_call(xp: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
-                whh_ref, whht_ref, dxp_ref, dh_scr, dc_scr, gates_scr,
+                whh_ref, whht_ref, dxp_ref, dh_scr, dc_scr,
                 *, T: int):
     """Grid (2, T): step tau walks the recurrence in reverse. Recomputes
     the gates from xp + h_prev instead of storing them. Boundary (first
     recurrence step) zeroes h_prev/c_prev."""
     tau = pl.program_id(1)
-    S = dh_scr.shape[0]
 
     @pl.when(tau == 0)
     def _():
@@ -179,14 +179,13 @@ def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
     h_prev = jnp.where(first, 0.0, hprev_ref[:, 0, 0].astype(jnp.float32))
     c_prev = jnp.where(first, 0.0, cprev_ref[:, 0, 0])
 
-    for s in range(S):  # static indices — see forward kernel note
-        gates_scr[s] = jax.lax.dot_general(
-            h_prev[s], whh_ref[s, 0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    rec = jax.lax.dot_general(  # batched over S — see forward kernel note
+        h_prev, whh_ref[:, 0],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
-    gates = gates_scr[...] + xp_ref[:, 0, 0].astype(jnp.float32)
+    gates = rec + xp_ref[:, 0, 0].astype(jnp.float32)
     hidden = dh_scr.shape[-1]
     i = _sigmoid(gates[..., :hidden])
     f = _sigmoid(gates[..., hidden:2 * hidden])
@@ -211,14 +210,12 @@ def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
         ],
         axis=-1,
     )
-    gates_scr[...] = dgates
 
-    for s in range(S):
-        dh_scr[s] = jax.lax.dot_general(
-            gates_scr[s], whht_ref[s, 0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    dh_scr[...] = jax.lax.dot_general(
+        dgates, whht_ref[:, 0],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
     dxp_ref[:, 0, 0] = dgates.astype(dxp_ref.dtype)
 
 
@@ -256,7 +253,6 @@ def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
         scratch_shapes=[
             pltpu.VMEM((S, B, H), jnp.float32),
             pltpu.VMEM((S, B, H), jnp.float32),
-            pltpu.VMEM((S, B, G), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
