@@ -167,8 +167,11 @@ def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None):
 
 def bench_phased(model_cls, full_ds, n_subjects, ex_nums):
     """Single-subject phased-curriculum throughput (the reference's
-    flagship loop): epochs of the fusion_arousal phase, host-driven like
-    the real driver."""
+    flagship loop): a whole fusion_arousal phase (train + per-epoch eval)
+    as ONE fused device program (``MultiTaskTrainer.run_phase_fused`` —
+    identical parity-mode math to the per-epoch host loop, equivalence
+    test in tests/test_train.py). Each invocation consumes fresh host-RNG
+    batch plans, so the tunnel cannot memoize repeats."""
     import jax
 
     from multimodal_sentiment_aanalysis_tpu.data.splits import loso_split
@@ -177,24 +180,22 @@ def bench_phased(model_cls, full_ds, n_subjects, ex_nums):
     tr_idx, te_idx = loso_split(n_subjects, ex_nums, 0)
     mt = MultiTaskTrainer(
         model_cls(), full_ds.subset(tr_idx), full_ds.subset(te_idx),
-        verbose=False,
+        verbose=False, fused_phases=True,
     )
     t0 = time.perf_counter()
-    for _ in range(PHASED_WARM):
-        mt.train_epoch_phase("fusion_arousal")
+    mt.run_phase_fused("fusion_arousal", PHASED_TIMED)
     jax.block_until_ready(mt.params)
-    log(f"  compile+{PHASED_WARM} warm-up epochs: "
+    log(f"  compile + warm-up phase ({PHASED_TIMED} epochs): "
         f"{time.perf_counter() - t0:.1f}s")
 
     n_train = len(tr_idx)
     t0 = time.perf_counter()
-    for _ in range(PHASED_TIMED):
-        mt.train_epoch_phase("fusion_arousal")
+    mt.run_phase_fused("fusion_arousal", PHASED_TIMED)
     jax.block_until_ready(mt.params)
     elapsed = time.perf_counter() - t0
     sps = PHASED_TIMED * n_train / elapsed
-    log(f"  {PHASED_TIMED} phased epochs in {elapsed:.3f}s -> "
-        f"{sps:.0f} samples/s")
+    log(f"  {PHASED_TIMED} phased epochs (incl. per-epoch eval) in "
+        f"{elapsed:.3f}s -> {sps:.0f} samples/s")
     return sps
 
 

@@ -83,6 +83,7 @@ def cmd_phased(args) -> None:
                 checkpoint_dir=args.checkpoint_dir, seed=args.seed,
                 verbose=not args.quiet,
                 reset_optimizer_each_epoch=not args.no_reset_optimizer,
+                fused_phases=args.fused_phases,
             )
         else:
             # shapes are identical across subjects: reuse compiled programs
@@ -379,6 +380,10 @@ def main(argv: list[str] | None = None) -> None:
                         "epochs (the documented improvement over the "
                         "reference's per-epoch optimizer rebuild quirk, "
                         "MultiTaskTrainer.py:181,237,293,351,412)")
+    p.add_argument("--fused-phases", action="store_true",
+                   help="run each curriculum phase as ONE device program "
+                        "(per-epoch optimizer reset + eval fused in; parity "
+                        "mode only — removes per-epoch host round-trips)")
     p.set_defaults(fn=cmd_phased)
 
     p = sub.add_parser("simclr", help="contrastive pretrain + finetune LOSO")

@@ -111,6 +111,7 @@ class MultiTaskTrainer:
         batch_size: int = 64,
         clip_norm: float = 1.0,
         reset_optimizer_each_epoch: bool = True,
+        fused_phases: bool = False,
         seed: int = 42,
         checkpoint_dir: str = ".",
         verbose: bool = True,
@@ -124,6 +125,9 @@ class MultiTaskTrainer:
         self.batch_size = batch_size
         self.clip_norm = clip_norm
         self.reset_optimizer_each_epoch = reset_optimizer_each_epoch
+        # fuse whole phases into one device call (parity mode only; see
+        # run_phase_fused) — same math, minus per-epoch RPC latency
+        self.fused_phases = fused_phases and reset_optimizer_each_epoch
         self.checkpoint_dir = checkpoint_dir
         self.verbose = verbose
 
@@ -138,12 +142,17 @@ class MultiTaskTrainer:
             sample["eye"],
             sample["pps"],
         )
-        self.params = variables["params"]
-        self.batch_stats = variables.get("batch_stats", {})
+        # model.init leaves scalar params (temperature) weak-typed; the
+        # first compiled epoch returns them strong-typed, which would
+        # change the jit signature and silently recompile every phase
+        # program on its SECOND call (tens of seconds each on TPU)
+        self.params = strong_typed(variables["params"])
+        self.batch_stats = strong_typed(variables.get("batch_stats", {}))
 
         # per-phase optimizer transforms + compiled epoch functions
         self._tx: dict[str, optax.GradientTransformation] = {}
         self._train_epoch_fn: dict[str, Callable] = {}
+        self._phase_fused_fn: dict[str, Callable] = {}
         self._opt_state: dict[str, Any] = {}
         self._eval_fn = None
 
@@ -181,8 +190,8 @@ class MultiTaskTrainer:
             sample["eye"],
             sample["pps"],
         )
-        self.params = variables["params"]
-        self.batch_stats = variables.get("batch_stats", {})
+        self.params = strong_typed(variables["params"])  # see __init__ note
+        self.batch_stats = strong_typed(variables.get("batch_stats", {}))
         self._opt_state = {}
         self.schedulers = {}
         self.metrics = {
@@ -315,6 +324,160 @@ class MultiTaskTrainer:
 
         return eval_epoch
 
+    def _build_phase_fused(self, phase: str) -> Callable:
+        """A whole fixed-epoch phase as ONE jitted program.
+
+        Exactly the parity-mode (``reset_optimizer_each_epoch=True``)
+        semantics of :meth:`_run_phase`'s host loop — per-epoch optimizer
+        re-init happens IN-program (``tx.init`` inside the epoch scan),
+        the per-epoch test evaluation is fused in, and the dropout key
+        threads through epochs just as the per-epoch calls thread it —
+        but with 1 device round-trip per phase instead of 2 per epoch.
+        Over the remote-TPU tunnel the per-call latency dominates the
+        per-epoch path (~1 s/epoch of RPC for ~50 ms of device work), so
+        this is the difference between ~450 and several thousand
+        samples/s on the reference's flagship workload
+        (``MultiTaskTrainer.py:556-673``).
+        """
+        spec = PHASES[phase]
+        tx = self._phase_tx(phase)
+        grad_mask = module_mask(self.params, spec.grad_modules)
+        update_mask = module_mask(self.params, spec.update_modules)
+        loss_fn = self._loss_and_metrics(spec.loss)
+        clip_norm = self.clip_norm
+        model = self.model
+
+        @jax.jit
+        def phase_fused(params, batch_stats, key, lr, arrays, test_arrays,
+                        plan_idx, plan_mask, test_idx, test_mask):
+            def train_step(carry, xs):
+                params, batch_stats, opt_state, key = carry
+                idx, bmask = xs
+                batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
+                batch["mask"] = bmask
+                key, dk = jax.random.split(key)
+                (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch_stats, batch, dk)
+                grads = zero_masked_grads(grads, grad_mask)
+                grads, _ = clip_by_global_norm(grads, clip_norm)
+                grads = zero_masked_grads(grads, update_mask)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                updates = zero_masked_grads(updates, update_mask)
+                params = optax.apply_updates(params, updates)
+                return (params, new_bs, opt_state, key), metrics
+
+            def eval_step(params, batch_stats, idx, bmask):
+                batch = {k: jnp.take(v, idx, axis=0)
+                         for k, v in test_arrays.items()}
+                a, v, mask = batch["arousal"], batch["valence"], bmask
+                arousal, valence, c1, c2, c3 = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch["eeg"], batch["eye"], batch["pps"],
+                    labels=(a, v, mask), train=False,
+                )
+                a_loss = masked_cross_entropy(arousal, a, mask)
+                v_loss = masked_cross_entropy(valence, v, mask)
+                n_valid = mask.sum()
+                return {
+                    "loss": (a_loss + v_loss) * n_valid,
+                    "a_loss": a_loss * n_valid,
+                    "v_loss": v_loss * n_valid,
+                    "c_loss": (c1 + c2 + c3) * n_valid,
+                    "a_acc": masked_accuracy(arousal, a, mask) * n_valid,
+                    "v_acc": masked_accuracy(valence, v, mask) * n_valid,
+                    "n": n_valid,
+                }
+
+            def epoch(carry, xs):
+                params, batch_stats, key = carry
+                idx_e, mask_e = xs
+                # reference parity: fresh optimizer moments every epoch
+                opt_state = set_learning_rate(tx.init(params), lr)
+                (params, batch_stats, _, key), ms = jax.lax.scan(
+                    train_step, (params, batch_stats, opt_state, key),
+                    (idx_e, mask_e),
+                )
+                train_totals = jax.tree.map(jnp.sum, ms)
+                _, ems = jax.lax.scan(
+                    lambda _, xs2: (None, eval_step(params, batch_stats, *xs2)),
+                    None, (test_idx, test_mask),
+                )
+                test_totals = jax.tree.map(jnp.sum, ems)
+                return (params, batch_stats, key), (train_totals, test_totals)
+
+            (params, batch_stats, key), (tr, te) = jax.lax.scan(
+                epoch, (params, batch_stats, key), (plan_idx, plan_mask)
+            )
+            return params, batch_stats, key, tr, te
+
+        return phase_fused
+
+    def run_phase_fused(self, phase: str, epochs: int) -> dict[str, float]:
+        """Train + evaluate ``epochs`` epochs of ``phase`` in one device
+        call; appends the same per-epoch train/test metrics the host loop
+        would. Requires parity mode (per-epoch optimizer reset) — with
+        ``reset_optimizer_each_epoch=False`` the plateau scheduler feeds
+        device results back into the next epoch's LR, a genuine host
+        decision the fused program cannot take."""
+        if not self.reset_optimizer_each_epoch:
+            raise ValueError(
+                "run_phase_fused requires reset_optimizer_each_epoch=True; "
+                "the --no-reset-optimizer improvement path needs the "
+                "per-epoch host loop for scheduler feedback"
+            )
+        if phase not in self._phase_fused_fn:
+            self._phase_fused_fn[phase] = self._build_phase_fused(phase)
+        spec = PHASES[phase]
+        lr = self.schedulers[phase].lr if phase in self.schedulers else self.lr
+
+        plans = [
+            self.train_data.epoch_plan(self.batch_size, self.host_rng,
+                                       shuffle=True)
+            for _ in range(epochs)
+        ]
+        plan_idx = jnp.stack([p[0] for p in plans])
+        plan_mask = jnp.stack([p[1] for p in plans])
+        test_idx, test_mask = self.test_data.epoch_plan(
+            self.batch_size, shuffle=False
+        )
+
+        (self.params, self.batch_stats, self.dropout_seed, tr, te) = (
+            self._phase_fused_fn[phase](
+                self.params, self.batch_stats, self.dropout_seed,
+                strong_typed(jnp.asarray(lr, jnp.float32)),
+                self.train_data.arrays, self.test_data.arrays,
+                plan_idx, plan_mask, test_idx, test_mask,
+            )
+        )
+        tr = jax.device_get(tr)
+        te = jax.device_get(te)
+        last_test: dict[str, float] = {}
+        for e in range(epochs):
+            tn, en = float(tr["n"][e]), float(te["n"][e])
+            train_m = {k: float(tr[k][e]) / tn for k in METRIC_KEYS}
+            test_m = {k: float(te[k][e]) / en for k in METRIC_KEYS}
+            for k in METRIC_KEYS:
+                self.metrics["train"][k].append(train_m[k])
+                self.metrics["test"][k].append(test_m[k])
+            if self.verbose:
+                print(
+                    f"Epoch {e + 1} | train loss {train_m['loss']:.4f} "
+                    f"a_acc {train_m['a_acc']:.2%} v_acc {train_m['v_acc']:.2%} "
+                    f"c_loss {train_m['c_loss']:.4f} || test loss "
+                    f"{test_m['loss']:.4f} a_acc {test_m['a_acc']:.2%} "
+                    f"v_acc {test_m['v_acc']:.2%}"
+                )
+            last_test = test_m
+        # host-loop scheduler parity: recreated at the last epoch's start,
+        # then stepped once on that epoch's test loss
+        if epochs > 0:
+            self.schedulers[phase] = ReduceLROnPlateau(
+                lr=lr, patience=spec.sched_patience, factor=spec.sched_factor
+            )
+            self.schedulers[phase].step(last_test["loss"])
+        return last_test
+
     # ------------------------------------------------------------------
     # phase-boundary checkpoint/resume (params + BN stats + host control
     # state; per-phase optimizer moments rebuild on the next epoch, which
@@ -424,6 +587,8 @@ class MultiTaskTrainer:
         last_test: dict[str, float] = {}
         if self.verbose:
             print(title)
+        if self.fused_phases:
+            return self.run_phase_fused(phase, epochs)
         for epoch in range(1, epochs + 1):
             if self.reset_optimizer_each_epoch or phase not in self.schedulers:
                 # reference parity: scheduler recreated every epoch too

@@ -106,7 +106,12 @@ def main():
             v, g = jax.value_and_grad(loss)(xx)
             return xx + jnp.asarray(1e-9, dt) * g.astype(dt)
 
-        t = timed(chain(stem), xe)
+        def stem_chained(xx):
+            # scalar feedback keeps the carry shape while forcing each
+            # iteration to depend on the previous stem output
+            return xx + (jnp.sum(stem(xx)).astype(dt) * jnp.asarray(1e-12, dt))
+
+        t = timed(chain(stem_chained), xe)
         print(f"conv stem fwd {dt_name}: {t / N_CHAIN * 1e3:.3f} ms", flush=True)
         t = timed(chain(fwdbwd), xe)
         print(f"conv stem fwd+bwd {dt_name}: {t / N_CHAIN * 1e3:.3f} ms", flush=True)

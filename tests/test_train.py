@@ -155,6 +155,55 @@ class TestMultiTask:
         assert any(f.endswith(".msgpack") for f in files)
         assert any(f.endswith(".png") for f in files)
 
+    @pytest.mark.slow
+    def test_fused_phase_matches_host_loop(self, tiny_model, tiny_data):
+        """run_phase_fused == the per-epoch host loop: same plans, same
+        dropout threading, same per-epoch optimizer reset — params and
+        recorded metrics must agree to float tolerance."""
+        from multimodal_sentiment_aanalysis_tpu.train import MultiTaskTrainer
+
+        train, test = tiny_data
+        mk = lambda: MultiTaskTrainer(
+            tiny_model, train, test, batch_size=16, seed=5, verbose=False
+        )
+        loop, fused = mk(), mk()
+        m_loop = loop._run_phase("eeg", 3, "")
+        m_fused = fused.run_phase_fused("eeg", 3)
+
+        for k in m_loop:
+            assert abs(m_loop[k] - m_fused[k]) < 1e-4, (k, m_loop, m_fused)
+        for split in ("train", "test"):
+            for k, series in loop.metrics[split].items():
+                np.testing.assert_allclose(
+                    fused.metrics[split][k], series, atol=1e-4, err_msg=k
+                )
+        deltas = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            loop.params, fused.params,
+        )
+        # same math, different program boundaries: XLA fusion reorders
+        # float accumulation, so allow ~1e-3 drift after 3 trained epochs
+        assert max(jax.tree.leaves(deltas)) < 1e-3
+
+    def test_fused_phase_rejects_scheduler_feedback_mode(
+        self, tiny_model, tiny_data
+    ):
+        from multimodal_sentiment_aanalysis_tpu.train import MultiTaskTrainer
+
+        train, test = tiny_data
+        tr = MultiTaskTrainer(
+            tiny_model, train, test, batch_size=16,
+            reset_optimizer_each_epoch=False, verbose=False,
+        )
+        with pytest.raises(ValueError):
+            tr.run_phase_fused("eeg", 1)
+        # and the constructor flag silently stays off in that mode
+        tr2 = MultiTaskTrainer(
+            tiny_model, train, test, batch_size=16,
+            reset_optimizer_each_epoch=False, fused_phases=True, verbose=False,
+        )
+        assert tr2.fused_phases is False
+
 
 class TestSingleTaskTrainer:
     @pytest.mark.slow
