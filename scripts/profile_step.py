@@ -148,6 +148,13 @@ def main():
         ("no-update", dict(dropout=True, contrastive=True, update=False, backward=True)),
         ("fwd-only", dict(dropout=True, contrastive=True, update=False, backward=False)),
     ]
+    if "--rbg" in sys.argv:
+        # rbg keys: XLA RngBitGenerator instead of threefry for the
+        # dropout masks — same distribution, far cheaper bit generation
+        rbg_keys = jax.random.split(
+            jax.random.key(43, impl="rbg"), S)
+        args0 = args0[:3] + (rbg_keys,) + args0[4:]
+        variants = [("full-rbg", variants[0][1])]
     for name, kw in variants:
         fn = variant_step(**kw)
         t = timed(fn, *args0)
