@@ -39,10 +39,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Best-effort persistent XLA compilation cache. The remote TPU compile of
+# the fp32 fused program varies from 3 to 16 minutes run to run; on a
+# backend with local PJRT compilation this makes repeat benchmarks hit a
+# disk cache. (The axon tunnel compiles server-side and bypasses it —
+# verified: no cache files appear — but it is harmless there and helps
+# any locally-compiled environment.)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 BASELINE_SAMPLES_PER_SEC = 33.5  # reference end-to-end LOSO training rate
 BATCH = 64

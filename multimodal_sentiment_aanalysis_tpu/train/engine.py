@@ -75,12 +75,15 @@ class Trainer:
             sample["pps"],
         )
         # trainer-level learnable contrastive weight joins the param tree in
-        # its own subtree == its own torch param group (reference :24-26)
-        self.params = {
+        # its own subtree == its own torch param group (reference :24-26).
+        # strong_typed: model.init leaves scalar params (temperature)
+        # weak-typed, which would silently recompile the step on its
+        # second call once the first compiled step returns strong types.
+        self.params = strong_typed({
             "model": variables["params"],
             "trainer": {"contrastive_weight": jnp.ones((1,))},
-        }
-        self.batch_stats = variables.get("batch_stats", {})
+        })
+        self.batch_stats = strong_typed(variables.get("batch_stats", {}))
 
         self.tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=lr, weight_decay=weight_decay

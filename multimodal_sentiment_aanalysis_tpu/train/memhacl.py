@@ -51,7 +51,9 @@ def memhacl_pretrain(
     feat = encoder.apply(enc_vars, sample["eeg"], sample["eye"], sample["pps"])
     proj_vars = projector.init(jax.random.key(seed + 1), feat)
 
-    params = {"enc": enc_vars["params"], "proj": proj_vars["params"]}
+    params = strong_typed(
+        {"enc": enc_vars["params"], "proj": proj_vars["params"]}
+    )  # weak-typed init scalars would retrace the epoch on its 2nd call
     batch_stats = {
         "enc": enc_vars.get("batch_stats", {}),
         "proj": proj_vars.get("batch_stats", {}),
@@ -143,7 +145,9 @@ def memhacl_finetune(
     )
     clf_vars = classifier.init(jax.random.key(seed + 3), feat)
 
-    params = {"enc": encoder_vars["params"], "clf": clf_vars["params"]}
+    params = strong_typed(
+        {"enc": encoder_vars["params"], "clf": clf_vars["params"]}
+    )
     batch_stats = {"enc": encoder_vars.get("batch_stats", {})}
     tx = optax.adam(lr)
     opt_state = strong_typed(tx.init(params))

@@ -59,7 +59,9 @@ def contrastive_pretrain(
     feat = encoder.apply(enc_vars, sample["eeg"], sample["eye"], sample["pps"])
     proj_vars = projector.init(jax.random.key(seed + 1), feat)
 
-    params = {"enc": enc_vars["params"], "proj": proj_vars["params"]}
+    params = strong_typed(
+        {"enc": enc_vars["params"], "proj": proj_vars["params"]}
+    )  # weak-typed init scalars would retrace the epoch on its 2nd call
     batch_stats = {
         "enc": enc_vars.get("batch_stats", {}),
         "proj": proj_vars.get("batch_stats", {}),
@@ -149,7 +151,7 @@ def finetune(
         encoder_vars, sample["eeg"], sample["eye"], sample["pps"]
     )
     clf_vars = classifier.init(key, feat)
-    params = clf_vars["params"]
+    params = strong_typed(clf_vars["params"])
     tx = optax.adam(lr)
     opt_state = strong_typed(tx.init(params))
 

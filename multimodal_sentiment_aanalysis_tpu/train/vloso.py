@@ -121,6 +121,10 @@ class VectorizedLOSOTrainer:
 
         keys = jax.random.split(jax.random.key(seed), self.n_total)
         self.params, self.batch_stats = jax.vmap(init_one)(keys)
+        # weak-typed init scalars (temperature) would retrace the epoch
+        # program on its 2nd call once compiled outputs come back strong
+        self.params = strong_typed(self.params)
+        self.batch_stats = strong_typed(self.batch_stats)
         self.params = {
             "model": self.params,
             "trainer": {
