@@ -148,6 +148,21 @@ def main():
         ("no-update", dict(dropout=True, contrastive=True, update=False, backward=True)),
         ("fwd-only", dict(dropout=True, contrastive=True, update=False, backward=False)),
     ]
+    if "--flat" in sys.argv:
+        # optax.flatten: run AdamW on ONE concatenated vector instead of
+        # ~150 leaves x 24 models — measures per-leaf op overhead
+        import optax as _optax
+
+        tx_flat = _optax.flatten(_optax.adamw(1e-4, weight_decay=0.01))
+        flat_opt = jax.vmap(tx_flat.init)(trainer.params)
+        trainer.tx = tx_flat
+        args0 = (trainer.params, trainer.batch_stats, flat_opt,
+                 trainer.dropout_keys, idx)
+        variants = [("full-flat", variants[0][1])]
+        fn = variant_step(**variants[0][1])
+        t = timed(fn, *args0)
+        print(f"full-flat  : {t / N_CHAIN * 1e3:7.3f} ms/step", flush=True)
+        return
     if "--rbg" in sys.argv:
         # rbg keys: XLA RngBitGenerator instead of threefry for the
         # dropout masks — same distribution, far cheaper bit generation
