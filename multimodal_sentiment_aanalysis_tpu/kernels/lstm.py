@@ -48,16 +48,23 @@ H=128, 2 layers, chained-scan timing, ``scripts/bench_lstm_kernel.py``):
 ===========  ==========  ============  =======
 config       jnp (XLA)   fused kernel  speedup
 ===========  ==========  ============  =======
-fp32 fwd       10.00 ms     7.87 ms      1.27x
-fp32 f+bwd     25.21 ms    15.98 ms      1.58x
-bf16 fwd        7.12 ms     4.55 ms      1.56x
-bf16 f+bwd     15.47 ms    11.46 ms      1.35x
+fp32 fwd        9.96 ms     4.73 ms      2.11x
+fp32 f+bwd     25.17 ms    10.75 ms      2.34x
+bf16 fwd        7.09 ms     3.06 ms      2.32x
+bf16 f+bwd     15.46 ms     7.77 ms      1.99x
 ===========  ==========  ============  =======
 
-(The first fused revision kept S in the Pallas grid — 3504 sequential
-grid steps — and managed only 18.4 ms fp32 f+bwd; moving S into the block
-bought the rest. Remaining gap to roofline is per-grid-step overhead on
-146 steps plus the B=64 half-tile MXU occupancy of the per-model dots.)
+Revision history of the fused path (each step A/B'd on hardware):
+v2 kept S in the Pallas grid — 3504 sequential grid steps, 18.4 ms fp32
+f+bwd. v3 moved S into the block via custom_vmap (15.98 ms) and then
+batched the per-model dots into one dot_general (same runtime, ~120x
+faster Mosaic compile). v4 packed the direction axis into the LAST dim
+of xp/h_seq so the direction select became BlockSpec lane blocking —
+eliminating the (2,T,B,4H) stack/transpose passes over the layer's
+biggest tensors (the projections are transposed as (T,B,I) BEFORE the
+matmul, 4-8x less transpose traffic) — 10.75 ms fp32 f+bwd. Remaining
+gap to roofline is the serial per-step dot chain itself (146 dots of
+(64,128)@(128,512) at half-tile M occupancy).
 """
 
 from __future__ import annotations
@@ -88,9 +95,12 @@ def _time_map(d, t, T):
 def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
     """Grid (2, T), time innermost; the whole model axis S is in the block.
 
-    Blocks: xp (S,1,1,B,4H) at the direction's actual-time index;
-    whh (S,1,H,4H); outputs (S,1,1,B,H). h/c live in (S,B,H) float32
-    scratch across the T sweep and reset when a direction starts."""
+    Blocks: xp (S,1,B,4H) — the direction's 4H half of the packed
+    (T,B,8H) projection at its actual-time index (the direction select is
+    LANE blocking in the BlockSpec, so no (2,T,B,4H) copy ever exists);
+    whh (S,1,H,4H); h_seq out (S,1,B,H) into the packed (T,B,2H) layout;
+    c_seq out (S,1,1,B,H). h/c live in (S,B,H) float32 scratch across the
+    T sweep and reset when a direction starts."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -109,7 +119,7 @@ def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
     )
 
     # vectorized gate math over all models at once (VPU)
-    gates = rec + xp_ref[:, 0, 0].astype(jnp.float32)
+    gates = rec + xp_ref[:, 0].astype(jnp.float32)
     hidden = h_scr.shape[-1]
     i = _sigmoid(gates[..., :hidden])
     f = _sigmoid(gates[..., hidden:2 * hidden])
@@ -119,31 +129,35 @@ def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
     h = o * jnp.tanh(c)
     h_scr[...] = h
     c_scr[...] = c
-    hs_ref[:, 0, 0] = h.astype(hs_ref.dtype)
+    hs_ref[:, 0] = h.astype(hs_ref.dtype)
     cs_ref[:, 0, 0] = c.astype(cs_ref.dtype)
 
 
 def _fwd_call(xp: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
-    """xp (S, 2, T, B, 4H) actual-time order; w_hh (S, 2, H, 4H).
-    Returns h_seq (S, 2, T, B, H), c_seq (same, float32), actual-time."""
-    S, _, T, B, G = xp.shape
+    """xp (S, T, B, 8H) packed [fwd|bwd] projections, actual-time order;
+    w_hh (S, 2, H, 4H). Returns h_seq (S, T, B, 2H) packed [fwd|bwd] and
+    c_seq (S, 2, T, B, H) float32, both actual-time."""
+    S, T, B, G2 = xp.shape
+    G = G2 // 2
     H = G // 4
 
-    amap = lambda d, t: (0, d, _time_map(d, t, T), 0, 0)
+    # direction d reads/writes the d-th lane block of the packed last dim
+    xmap = lambda d, t: (0, _time_map(d, t, T), 0, d)
+    cmap = lambda d, t: (0, d, _time_map(d, t, T), 0, 0)
     return pl.pallas_call(
         _fwd_kernel,
         grid=(2, T),
         in_specs=[
-            pl.BlockSpec((S, 1, 1, B, G), amap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, B, G), xmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 1, H, G), lambda d, t: (0, d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((S, 1, 1, B, H), amap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, 1, B, H), amap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, B, H), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, 1, B, H), cmap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, 2, T, B, H), xp.dtype),
+            jax.ShapeDtypeStruct((S, T, B, 2 * H), xp.dtype),
             jax.ShapeDtypeStruct((S, 2, T, B, H), jnp.float32),
         ],
         scratch_shapes=[
@@ -176,7 +190,7 @@ def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
         dc_scr[...] = jnp.zeros_like(dc_scr)
 
     first = tau == T - 1  # recurrence step 0: no previous state
-    h_prev = jnp.where(first, 0.0, hprev_ref[:, 0, 0].astype(jnp.float32))
+    h_prev = jnp.where(first, 0.0, hprev_ref[:, 0].astype(jnp.float32))
     c_prev = jnp.where(first, 0.0, cprev_ref[:, 0, 0])
 
     rec = jax.lax.dot_general(  # batched over S — see forward kernel note
@@ -185,14 +199,14 @@ def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
         preferred_element_type=jnp.float32,
     )
 
-    gates = rec + xp_ref[:, 0, 0].astype(jnp.float32)
+    gates = rec + xp_ref[:, 0].astype(jnp.float32)
     hidden = dh_scr.shape[-1]
     i = _sigmoid(gates[..., :hidden])
     f = _sigmoid(gates[..., hidden:2 * hidden])
     g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
     o = _sigmoid(gates[..., 3 * hidden:])
 
-    dh = dh_ref[:, 0, 0].astype(jnp.float32) + dh_scr[...]
+    dh = dh_ref[:, 0].astype(jnp.float32) + dh_scr[...]
     tc = jnp.tanh(ccur_ref[:, 0, 0])
     do = dh * tc
     dc = dc_scr[...] + dh * o * (1.0 - tc * tc)
@@ -216,12 +230,15 @@ def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    dxp_ref[:, 0, 0] = dgates.astype(dxp_ref.dtype)
+    dxp_ref[:, 0] = dgates.astype(dxp_ref.dtype)
 
 
 def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
-    """Reverse sweep; returns dxp (S, 2, T, B, 4H), actual-time order."""
-    S, _, T, B, G = xp.shape
+    """Reverse sweep. dh_seq/h_seq are packed (S, T, B, 2H), xp is packed
+    (S, T, B, 8H), c_seq is (S, 2, T, B, H). Returns dxp packed
+    (S, T, B, 8H) float32, actual-time order."""
+    S, T, B, G2 = xp.shape
+    G = G2 // 2
     H = G // 4
 
     # actual time of reverse step tau, per direction
@@ -232,24 +249,26 @@ def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
         jnp.where(d == 0, a(d, tau) - 1, a(d, tau) + 1), 0, T - 1
     )
 
-    amap = lambda d, tau: (0, d, a(d, tau), 0, 0)
-    pmap = lambda d, tau: (0, d, prev(d, tau), 0, 0)
+    amap = lambda d, tau: (0, a(d, tau), 0, d)       # packed-lane layouts
+    pmap = lambda d, tau: (0, prev(d, tau), 0, d)
+    cmap = lambda d, tau: (0, d, a(d, tau), 0, 0)    # c_seq layout
+    cpmap = lambda d, tau: (0, d, prev(d, tau), 0, 0)
     wmap = lambda d, tau: (0, d, 0, 0)
 
     return pl.pallas_call(
         functools.partial(_bwd_kernel, T=T),
         grid=(2, T),
         in_specs=[
-            pl.BlockSpec((S, 1, 1, B, H), amap, memory_space=pltpu.VMEM),  # dh
-            pl.BlockSpec((S, 1, 1, B, G), amap, memory_space=pltpu.VMEM),  # xp
-            pl.BlockSpec((S, 1, 1, B, H), pmap, memory_space=pltpu.VMEM),  # h_prev
-            pl.BlockSpec((S, 1, 1, B, H), amap, memory_space=pltpu.VMEM),  # c_cur
-            pl.BlockSpec((S, 1, 1, B, H), pmap, memory_space=pltpu.VMEM),  # c_prev
-            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),     # whh
-            pl.BlockSpec((S, 1, G, H), wmap, memory_space=pltpu.VMEM),     # whh^T
+            pl.BlockSpec((S, 1, B, H), amap, memory_space=pltpu.VMEM),   # dh
+            pl.BlockSpec((S, 1, B, G), amap, memory_space=pltpu.VMEM),   # xp
+            pl.BlockSpec((S, 1, B, H), pmap, memory_space=pltpu.VMEM),   # h_prev
+            pl.BlockSpec((S, 1, 1, B, H), cmap, memory_space=pltpu.VMEM),   # c_cur
+            pl.BlockSpec((S, 1, 1, B, H), cpmap, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),   # whh
+            pl.BlockSpec((S, 1, G, H), wmap, memory_space=pltpu.VMEM),   # whh^T
         ],
-        out_specs=pl.BlockSpec((S, 1, 1, B, G), amap, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, 2, T, B, G), jnp.float32),
+        out_specs=pl.BlockSpec((S, 1, B, G), amap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, T, B, G2), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((S, B, H), jnp.float32),
             pltpu.VMEM((S, B, H), jnp.float32),
@@ -272,7 +291,7 @@ def _bcast(x, axis_size):
 def _make_vm(interpret: bool):
     @custom_vmap
     def vm_fwd(xp, w_hh):
-        # unbatched view: xp (2,T,B,4H), w_hh (2,H,4H)
+        # unbatched view: xp (T,B,8H) packed, w_hh (2,H,4H)
         h, c = _fwd_call(xp[None], w_hh[None], interpret)
         return h[0], c[0]
 
@@ -304,12 +323,16 @@ def _make_vm(interpret: bool):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def lstm_recurrence(xp, w_hh, interpret=False):
-    """Bidirectional LSTM recurrence.
+    """Bidirectional LSTM recurrence over PACKED layouts.
 
-    xp: (2, T, B, 4H) input projections (+biases), actual-time order for
-    BOTH directions; w_hh: (2, H, 4H) recurrent weights (``w_hh_torch.T``).
-    Returns h_seq (2, T, B, H) in actual-time order. vmap over models
-    (weights and activations batched) maps onto the kernel's S axis.
+    xp: (T, B, 8H) input projections (+biases) with the two directions
+    packed [fwd|bwd] along the last dim, BOTH in actual-time order;
+    w_hh: (2, H, 4H) recurrent weights (``w_hh_torch.T``). Returns h_seq
+    (T, B, 2H) packed [fwd|bwd], actual-time. The packed layouts mean the
+    caller never materializes a direction-major copy of the (T, B, 4H)
+    projections — the direction select is lane blocking in the kernel's
+    BlockSpecs. vmap over models (weights and activations batched) maps
+    onto the kernel's S axis.
     """
     h_seq, _ = _make_vm(interpret)[0](xp, w_hh)
     return h_seq
@@ -324,18 +347,23 @@ def _recurrence_bwd(interpret, res, dh_seq):
     xp, w_hh, h_seq, c_seq = res
     dxp = _make_vm(interpret)[1](dh_seq, xp, h_seq, c_seq, w_hh)
     # dW_hh[d] = sum_t h_prev(t)^T dgates(t); h_prev in actual time is
-    # h_seq shifted right for dir 0, left for dir 1 (zero at the boundary).
-    # Written axis-agnostically: shapes are (..., 2, T, B, H).
+    # h_seq shifted right along T for dir 0, left for dir 1 (zero at the
+    # boundary). Packed shapes: h_seq (..., T, B, 2H), dxp (..., T, B, 8H)
+    # — split the direction halves, shift, contract over (T, B).
     hf = h_seq.astype(jnp.float32)
-    h0 = jnp.take(hf, jnp.asarray([0]), axis=-4)  # dir-0 slice, (...,1,T,B,H)
-    h1 = jnp.take(hf, jnp.asarray([1]), axis=-4)
-    zed = jnp.zeros_like(jnp.take(h0, jnp.asarray([0]), axis=-3))
+    hidden = hf.shape[-1] // 2
+    h0 = hf[..., :hidden]   # (..., T, B, H)
+    h1 = hf[..., hidden:]
+    t_ax = hf.ndim - 3
+    zed = jnp.zeros_like(jax.lax.slice_in_dim(h0, 0, 1, axis=t_ax))
     shift_r = jnp.concatenate(
-        [zed, jax.lax.slice_in_dim(h0, 0, -1, axis=-3)], axis=-3)
+        [zed, jax.lax.slice_in_dim(h0, 0, -1, axis=t_ax)], axis=t_ax)
     shift_l = jnp.concatenate(
-        [jax.lax.slice_in_dim(h1, 1, None, axis=-3), zed], axis=-3)
-    h_prev = jnp.concatenate([shift_r, shift_l], axis=-4)
-    dw_hh = jnp.einsum("...dtbh,...dtbg->...dhg", h_prev, dxp)
+        [jax.lax.slice_in_dim(h1, 1, None, axis=t_ax), zed], axis=t_ax)
+    g4 = dxp.shape[-1] // 2
+    dw0 = jnp.einsum("...tbh,...tbg->...hg", shift_r, dxp[..., :g4])
+    dw1 = jnp.einsum("...tbh,...tbg->...hg", shift_l, dxp[..., g4:])
+    dw_hh = jnp.stack([dw0, dw1], axis=-3)  # (..., 2, H, 4H)
     return dxp.astype(xp.dtype), dw_hh.astype(w_hh.dtype)
 
 
@@ -355,14 +383,20 @@ def fused_bilstm_layer(
 ) -> jnp.ndarray:
     """Drop-in for :func:`..ops.rnn.bilstm_layer` (same torch-layout params,
     same (B, T, 2H) output): XLA computes the hoisted input projections,
-    the Pallas kernel runs the recurrence."""
+    the Pallas kernel runs the recurrence.
+
+    Layout discipline: the input is transposed to (T, B, I) FIRST (4-8x
+    smaller than the projections), then ONE matmul against the
+    direction-concatenated weights writes the packed (T, B, 8H)
+    projection directly — no (2, T, B, 4H) stack/transpose pass over the
+    biggest tensor in the layer. The kernel returns packed (T, B, 2H), so
+    the output needs only the final (T<->B) transpose."""
     (wif, whf, bif, bhf) = fwd
     (wib, whb, bib, bhb) = bwd
-    xp_f = x @ wif.T + (bif + bhf)  # (B, T, 4H) — big MXU matmul in XLA
-    xp_b = x @ wib.T + (bib + bhb)
-    xp = jnp.stack([xp_f, xp_b]).transpose(0, 2, 1, 3)  # (2, T, B, 4H)
+    xt = jnp.swapaxes(x, 0, 1)  # (T, B, I)
+    w_cat = jnp.concatenate([wif, wib], axis=0)      # (8H, I)
+    b_cat = jnp.concatenate([bif + bhf, bib + bhb])  # (8H,)
+    xp = xt @ w_cat.T + b_cat  # (T, B, 8H) — one big MXU matmul in XLA
     w_hh = jnp.stack([whf.T, whb.T])  # (2, H, 4H)
-    h_seq = lstm_recurrence(xp, w_hh, interpret)  # (2, T, B, H)
-    return jnp.concatenate(
-        [h_seq[0].transpose(1, 0, 2), h_seq[1].transpose(1, 0, 2)], axis=-1
-    )
+    h_seq = lstm_recurrence(xp, w_hh, interpret)  # (T, B, 2H) packed
+    return jnp.swapaxes(h_seq, 0, 1)  # (B, T, 2H), torch concat order
