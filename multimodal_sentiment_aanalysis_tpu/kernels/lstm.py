@@ -65,6 +65,18 @@ biggest tensors (the projections are transposed as (T,B,I) BEFORE the
 matmul, 4-8x less transpose traffic) — 10.75 ms fp32 f+bwd. Remaining
 gap to roofline is the serial per-step dot chain itself (146 dots of
 (64,128)@(128,512) at half-tile M occupancy).
+
+Known issue (open): one artificial profiling composition faults at
+runtime on the tunnel ("UNAVAILABLE: TPU device error ... kernel
+fault"): a chained train step whose gradients are consumed WITHOUT the
+clip+optimizer (``scripts/profile_step.py --only=no-update``).
+Reproducible in a fresh process; disappears with
+``ops.rnn.enable_fused_dispatch(False)``; NOT caused by the duplicated
+c_seq operand (a forced copy still faults). Every production program —
+the vloso fused trainer (fp32 + bf16, 20-epoch invocations), the phased
+fused/loop paths, serving, and the CLI drivers — runs repeatedly clean,
+as do the interpret-mode parity tests. If a new composition hits this,
+dispatch off via ``enable_fused_dispatch(False)`` and re-profile.
 """
 
 from __future__ import annotations

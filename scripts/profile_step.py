@@ -11,6 +11,8 @@ attribute the rest:
 - ce-only       : contrastive losses dropped from the objective
 - no-update     : grads computed but optimizer update skipped
 - fwd-only      : forward + loss only (no backward)
+- fwd-eval      : eval-mode forward (running-stats BN, no dropout) —
+                  vs fwd-only isolates train-mode BN + dropout fwd cost
 
 Each variant is timed as a chained 30-step scan (state feeds forward, so
 the tunnel cannot memoize).
@@ -82,11 +84,28 @@ def main():
     S = trainer.n_total
 
     def variant_step(dropout: bool, contrastive: bool, update: bool,
-                     backward: bool):
+                     backward: bool, train_mode: bool = True):
         model = (MultimodalTransformerModel() if dropout
                  else MultimodalTransformerModel(dropout=0.0))
 
         def loss_fn(params, batch_stats, batch, key):
+            if not train_mode:
+                outs = model.apply(
+                    {"params": params["model"], "batch_stats": batch_stats},
+                    batch["eeg"], batch["eye"], batch["pps"],
+                    labels=(batch["arousal"], batch["valence"],
+                            batch["mask"]),
+                    train=False,
+                )
+                a, v, c1, c2, c3 = outs
+                loss = (masked_cross_entropy(a, batch["arousal"],
+                                             batch["mask"])
+                        + masked_cross_entropy(v, batch["valence"],
+                                               batch["mask"]))
+                if contrastive:
+                    loss = loss + params["trainer"][
+                        "contrastive_weight"][0] * (c1 + c2 + c3)
+                return loss, batch_stats
             outs, mutated = model.apply(
                 {"params": params["model"], "batch_stats": batch_stats},
                 batch["eeg"], batch["eye"], batch["pps"],
@@ -145,9 +164,21 @@ def main():
         ("full", dict(dropout=True, contrastive=True, update=True, backward=True)),
         ("no-dropout", dict(dropout=False, contrastive=True, update=True, backward=True)),
         ("ce-only", dict(dropout=True, contrastive=False, update=True, backward=True)),
-        ("no-update", dict(dropout=True, contrastive=True, update=False, backward=True)),
         ("fwd-only", dict(dropout=True, contrastive=True, update=False, backward=False)),
+        ("fwd-eval", dict(dropout=True, contrastive=True, update=False,
+                          backward=False, train_mode=False)),
+        # LAST: this composition faults the packed LSTM kernel on the
+        # tunnel (see kernels/lstm.py "Known issue") — keeping it at the
+        # end lets the default run collect every other number first
+        ("no-update", dict(dropout=True, contrastive=True, update=False, backward=True)),
     ]
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:
+        variants = [(n, kw) for n, kw in variants if n in only]
+    if "--no-lstm-kernel" in sys.argv:
+        from multimodal_sentiment_aanalysis_tpu.ops import rnn as _rnn
+
+        _rnn.enable_fused_dispatch(False)
     if "--flat" in sys.argv:
         # optax.flatten: run AdamW on ONE concatenated vector instead of
         # ~150 leaves x 24 models — measures per-leaf op overhead
