@@ -71,8 +71,10 @@ runtime on the tunnel ("UNAVAILABLE: TPU device error ... kernel
 fault"): a chained train step whose gradients are consumed WITHOUT the
 clip+optimizer (``scripts/profile_step.py --only=no-update``).
 Reproducible in a fresh process; disappears with
-``ops.rnn.enable_fused_dispatch(False)``; NOT caused by the duplicated
-c_seq operand (a forced copy still faults). Every production program —
+``ops.rnn.enable_fused_dispatch(False)``. Ruled out: the duplicated
+c_seq operand (a forced copy still faults) and implicit grid semantics
+(explicit ``dimension_semantics=("arbitrary","arbitrary")`` — now set
+anyway for self-documentation — still faults). Every production program —
 the vloso fused trainer (fp32 + bf16, 20-epoch invocations), the phased
 fused/loop paths, serving, and the CLI drivers — runs repeatedly clean,
 as do the interpret-mode parity tests. If a new composition hits this,
@@ -179,7 +181,10 @@ def _fwd_call(xp: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
         # all S models' blocks + scratch exceed the 16 MB default scoped-
         # VMEM budget at the flagship shape (~22.5 MB incl. double
         # buffering); v5e has 128 MB of VMEM — raise the cap
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
     )(xp, w_hh)
 
@@ -285,7 +290,10 @@ def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
             pltpu.VMEM((S, B, H), jnp.float32),
             pltpu.VMEM((S, B, H), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
     )(dh_seq, xp, h_seq, c_seq, c_seq, w_hh, jnp.swapaxes(w_hh, 2, 3))
 
