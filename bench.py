@@ -8,7 +8,7 @@ The TPU-native equivalent trains all 24 LOSO models in ONE vmapped program
 (:class:`train.vloso.VectorizedLOSOTrainer`) over the device-resident
 dataset; throughput counts the same unit the reference's number counts —
 training samples consumed per second across the LOSO experiment. Since
-round 2 the timed program is the fused multi-epoch form (`run_fused`: one
+round 2 the timed program is the fused multi-epoch form (`train_epochs_fused`: one
 ``lax.scan`` over epochs, on-device batch plans, full tail coverage via
 wrap-pad masks).
 
@@ -76,8 +76,10 @@ def _flops(lowered_or_compiled) -> float | None:
     """FLOPs from XLA's cost analysis. NOTE: a ``while`` loop's body is
     counted ONCE, not x trip-count, so this must be fed a program with NO
     remaining loops (a single un-scanned train step / forward); the caller
-    multiplies by the step count. (On TPU the BiLSTM scan fully unrolls at
-    T<=128, so a single step is loop-free.)"""
+    multiplies by the step count. The counting lowerings below run on the
+    CPU backend, where the BiLSTM scan would lower to a while loop — they
+    therefore also set ``ops.rnn._FORCE_FULL_UNROLL`` so the recurrence
+    unrolls and every step's FLOPs are visible to the analysis."""
     try:
         ca = lowered_or_compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -120,6 +122,8 @@ def _train_step_flops(trainer) -> float | None:
     from multimodal_sentiment_aanalysis_tpu.ops import rnn as _rnn
 
     old = _rnn.enable_fused_dispatch(False)
+    old_unroll = _rnn._FORCE_FULL_UNROLL
+    _rnn._FORCE_FULL_UNROLL = True  # see _flops note: count every scan step
     try:
         with jax.default_device(jax.devices("cpu")[0]):
             lowered = jax.jit(jax.vmap(one)).lower(
@@ -128,6 +132,7 @@ def _train_step_flops(trainer) -> float | None:
             )
     finally:
         _rnn.enable_fused_dispatch(old)
+        _rnn._FORCE_FULL_UNROLL = old_unroll
     return _flops(lowered)
 
 
@@ -259,6 +264,8 @@ def bench_serving(trainer, ds, peak):
     from multimodal_sentiment_aanalysis_tpu.ops import rnn as _rnn
 
     old = _rnn.enable_fused_dispatch(False)
+    old_unroll = _rnn._FORCE_FULL_UNROLL
+    _rnn._FORCE_FULL_UNROLL = True  # see _flops note
     try:
         with jax.default_device(jax.devices("cpu")[0]):
             batch_flops = _flops(jax.jit(
@@ -266,6 +273,7 @@ def bench_serving(trainer, ds, peak):
             ).lower(sample["eeg"], sample["eye"], sample["pps"]))
     finally:
         _rnn.enable_fused_dispatch(old)
+        _rnn._FORCE_FULL_UNROLL = old_unroll
 
     jax.block_until_ready(compiled(plan()))  # warm-up, distinct plan
     t0 = time.perf_counter()

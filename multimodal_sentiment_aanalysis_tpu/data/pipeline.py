@@ -108,7 +108,7 @@ def epoch_plan_on_device(
 
     Removes even the host-side permutation from the step path; used by the
     fully-fused multi-epoch program
-    :meth:`..train.vloso.VectorizedLOSOTrainer.run_fused` (one ``lax.scan``
+    :meth:`..train.vloso.VectorizedLOSOTrainer.train_epochs_fused` (one ``lax.scan``
     over epochs, plans drawn per epoch inside jit).
     """
     order = jax.random.permutation(key, n)

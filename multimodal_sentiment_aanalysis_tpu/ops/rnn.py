@@ -19,6 +19,8 @@ Gate layout matches torch (i, f, g, o) so parameters map 1:1 to
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -26,7 +28,21 @@ import jax.numpy as jnp
 # bench.py turns it off around its FLOP-counting lowering: XLA's cost
 # analysis cannot see inside a Pallas custom call, so the analytic-MFU
 # lowering must take the pure-XLA scan path (same math, same FLOPs).
-_FUSED_DISPATCH_ENABLED = True
+#
+# KILL SWITCH: set ``MSA_FUSED_LSTM=0`` in the environment to disable the
+# fused Pallas kernel process-wide without touching code. Rationale: one
+# artificial gradient-consumption composition is known to fault the kernel
+# at runtime on TPU (kernels/lstm.py "Known issue" — repro
+# ``scripts/profile_step.py --only=no-update``); every production program
+# runs clean, but if a NEW composition ever hits "TPU device error ...
+# kernel fault", this env var is the immediate mitigation.
+_FUSED_DISPATCH_ENABLED = os.environ.get("MSA_FUSED_LSTM", "1") != "0"
+
+# When set, :func:`bilstm_layer`'s scan path fully unrolls regardless of
+# backend. Used ONLY by FLOP-counting lowerings (bench.py): on CPU the
+# scan lowers to a while loop whose body XLA cost analysis counts ONCE,
+# undercounting the recurrence; a full unroll makes every step visible.
+_FORCE_FULL_UNROLL = False
 
 
 def enable_fused_dispatch(on: bool) -> bool:
@@ -106,6 +122,9 @@ def bilstm_layer(
     if use_fused is None:
         from ..kernels.lstm import supported_shape
 
+        # _FUSED_DISPATCH_ENABLED honors the MSA_FUSED_LSTM=0 env kill
+        # switch — the mitigation for the kernel's known device-fault
+        # composition (kernels/lstm.py "Known issue")
         use_fused = (_FUSED_DISPATCH_ENABLED
                      and jax.default_backend() == "tpu"
                      and supported_shape(b, hidden_))
@@ -143,6 +162,8 @@ def bilstm_layer(
         # on CPU it balloons compile times by minutes for zero benefit
         on_tpu = jax.default_backend() == "tpu"
         unroll = (t if t <= 128 else 8) if on_tpu else 8
+        if _FORCE_FULL_UNROLL:
+            unroll = t  # FLOP-counting lowering: see module-level note
     (_, _), hs = jax.lax.scan(step, (h0, h0), xp, unroll=unroll)  # (T, 2, B, H)
     h_fwd = jnp.transpose(hs[:, 0], (1, 0, 2))
     h_bwd = jnp.flip(jnp.transpose(hs[:, 1], (1, 0, 2)), axis=1)

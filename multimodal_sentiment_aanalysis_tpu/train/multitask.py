@@ -426,6 +426,11 @@ class MultiTaskTrainer:
                 "the --no-reset-optimizer improvement path needs the "
                 "per-epoch host loop for scheduler feedback"
             )
+        if epochs <= 0:
+            # match the host loop: a 0-epoch phase is a no-op (no plans,
+            # no scheduler reset); jnp.stack over an empty plan list would
+            # raise otherwise
+            return {}
         if phase not in self._phase_fused_fn:
             self._phase_fused_fn[phase] = self._build_phase_fused(phase)
         spec = PHASES[phase]

@@ -24,7 +24,7 @@ there are ZERO collectives; XLA runs each device's subject shard as plain
 SPMD, so an N-chip mesh is an embarrassingly parallel N-x scale-out and a
 1-chip mesh degenerates to the single-device program.
 
-Fused multi-epoch mode: :meth:`run_fused` compiles E epochs into ONE
+Fused multi-epoch mode: :meth:`train_epochs_fused` compiles E epochs into ONE
 program — an outer ``lax.scan`` over epochs whose per-epoch batch plans are
 built on device by :func:`..data.pipeline.epoch_plan_on_device` (shuffle +
 wrap-pad + mask inside jit). This removes every host round-trip from the
@@ -269,7 +269,7 @@ class VectorizedLOSOTrainer:
         Train rows per subject are identical in count, so plans stack into
         one array; the tail partial batch is dropped (full batches only
         keeps masks trivial in the host path — at 460 rows and B=64 that
-        drops <14% per epoch, resampled every epoch; :meth:`run_fused`
+        drops <14% per epoch, resampled every epoch; :meth:`train_epochs_fused`
         covers the tail via wrap-pad masks instead)."""
         n_train = self.train_idx.shape[1]
         nb = n_train // self.batch_size

@@ -185,6 +185,18 @@ class TestMultiTask:
         # float accumulation, so allow ~1e-3 drift after 3 trained epochs
         assert max(jax.tree.leaves(deltas)) < 1e-3
 
+    def test_fused_phase_zero_epochs_is_noop(self, tiny_model, tiny_data):
+        # regression: jnp.stack over an empty plan list used to raise
+        from multimodal_sentiment_aanalysis_tpu.train import MultiTaskTrainer
+
+        train, test = tiny_data
+        tr = MultiTaskTrainer(
+            tiny_model, train, test, batch_size=16, fused_phases=True,
+            verbose=False,
+        )
+        assert tr.run_phase_fused("eeg", 0) == {}
+        assert "eeg" not in tr.schedulers
+
     def test_fused_phase_rejects_scheduler_feedback_mode(
         self, tiny_model, tiny_data
     ):
