@@ -31,7 +31,13 @@ def _load_arrays(args) -> tuple[dict, int]:
     from .data import assemble_features, make_synthetic_hci_data
     from .data.raw import RawData
 
-    if args.synthetic or not args.data:
+    if getattr(args, "tiny", False):
+        # smoke mode: 3 subjects x 8 trials, EEG time sliced to 64 —
+        # pairs with the shrunken model dims from _model_kwargs
+        args.ex_nums = 8
+        data = make_synthetic_hci_data(seed=args.seed, n_subjects=3,
+                                       ex_nums=8)
+    elif args.synthetic or not args.data:
         data = make_synthetic_hci_data(seed=args.seed)
     else:
         data = RawData(args.data).data
@@ -45,8 +51,17 @@ def _load_arrays(args) -> tuple[dict, int]:
         "arousal": np.asarray(data["arousal_label"]).reshape(-1).astype(np.int64),
         "valence": np.asarray(data["valence_label"]).reshape(-1).astype(np.int64),
     }
+    if getattr(args, "tiny", False):
+        arrays["eeg"] = np.ascontiguousarray(arrays["eeg"][:, :, :64])
     ex_nums = args.ex_nums
     return arrays, ex_nums
+
+
+def _model_kwargs(args) -> dict:
+    """Model-dim overrides for --tiny smoke mode."""
+    if getattr(args, "tiny", False):
+        return {"feat_dim": 32, "eeg_time": 64}
+    return {}
 
 
 def _subject_range(args, n_subjects: int) -> list[int]:
@@ -69,7 +84,10 @@ def cmd_phased(args) -> None:
     full = DeviceDataset(arrays)
     os.makedirs(args.checkpoint_dir, exist_ok=True)
 
-    model = MultimodalTransformerModel()
+    model = MultimodalTransformerModel(**_model_kwargs(args))
+    if args.vectorized:
+        _phased_vectorized(args, model, full, n_subjects, ex_nums)
+        return
     trainer = None
     tester = None
     results: dict[int, dict[str, float]] = {}
@@ -77,17 +95,21 @@ def cmd_phased(args) -> None:
     for sid in _subject_range(args, n_subjects):
         tr_idx, te_idx = loso_split(n_subjects, ex_nums, sid)
         train_ds, test_ds = full.subset(tr_idx), full.subset(te_idx)
+        # seed+sid: each subject trains from a fresh init, as in the
+        # reference, where the torch global RNG advances between the
+        # per-subject model re-instantiations (main.py:66)
         if trainer is None:
             trainer = MultiTaskTrainer(
                 model, train_ds, test_ds, test_person=sid,
-                checkpoint_dir=args.checkpoint_dir, seed=args.seed,
+                checkpoint_dir=args.checkpoint_dir, seed=args.seed + sid,
                 verbose=not args.quiet,
                 reset_optimizer_each_epoch=not args.no_reset_optimizer,
                 fused_phases=args.fused_phases,
             )
         else:
             # shapes are identical across subjects: reuse compiled programs
-            trainer.reset(train_ds, test_ds, test_person=sid, seed=args.seed)
+            trainer.reset(train_ds, test_ds, test_person=sid,
+                          seed=args.seed + sid)
         print(f"===== LOSO test subject {sid} =====")
         final = trainer.run(*args.epochs, save=True, plot=not args.no_plots)
         results[sid] = final
@@ -145,6 +167,93 @@ def cmd_phased(args) -> None:
                           "mean_arousal_acc": a, "mean_valence_acc": v})
 
 
+def _phased_vectorized(args, model, full, n_subjects, ex_nums) -> None:
+    """All subjects' 5-phase curricula in one program per phase
+    (:class:`train.vphased.VectorizedPhasedTrainer`) — the TPU-native form
+    of the reference's flagship 24-run sequential loop."""
+    import numpy as np
+
+    from .eval.reporting import plot_subject_accuracies
+    from .train import VectorizedPhasedTrainer
+
+    if args.subjects:
+        print("note: --vectorized trains ALL subjects; --subjects ignored")
+    mesh = None
+    if args.dp:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+    trainer = VectorizedPhasedTrainer(
+        model, full, n_subjects, ex_nums, seed=args.seed,
+        compute_dtype="bfloat16" if args.bf16 else None,
+        mesh=mesh, verbose=not args.quiet,
+    )
+    res = trainer.run(*args.epochs)
+    for sid in range(n_subjects):
+        print(
+            f"subject {sid}: arousal acc "
+            f"{res['per_subject_arousal'][sid]:.2%} valence acc "
+            f"{res['per_subject_valence'][sid]:.2%}"
+        )
+    print(
+        f"LOSO mean: arousal {res['mean_arousal_acc']:.2%} "
+        f"valence {res['mean_valence_acc']:.2%}"
+    )
+    trainer.save_checkpoints(args.checkpoint_dir)
+    if args.history_dir:
+        import datetime
+
+        from .config import Config
+        from .eval import Myreport, Tester
+        from .eval.reporting import accumulate_confusion, save_history
+
+        history: dict[int, dict] = {}
+        tester = None
+        for sid in range(n_subjects):
+            test_ds = full.subset(trainer.test_idx[sid])
+            variables = trainer.subject_variables(sid)
+            if tester is None:
+                tester = Tester(model, test_ds, variables=variables)
+            else:
+                tester.test_data, tester.variables = test_ds, variables
+            r = tester.evaluate(verbose=False, plot_dir=args.checkpoint_dir)
+            cm = accumulate_confusion(
+                r["arousal"]["predictions"], r["arousal"]["labels"],
+                np.zeros((3, 3), np.int64),
+            )
+            f1 = float(np.nan_to_num(Myreport().report_f1score(cm)).mean())
+            history[sid] = {
+                "epoch": sum(args.epochs),
+                "acc": float(r["arousal"]["accuracy"]),
+                "loss": float(r["arousal"]["loss"]),
+                "f1-score": f1,
+                "cm": cm,
+            }
+        cfg = Config()
+        cfg.logging.log_dir = args.history_dir
+        path = save_history(
+            cfg, "HCI",
+            datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"), history,
+        )
+        print(f"history appended to {path}")
+    if not args.no_plots:
+        plot_subject_accuracies(
+            [float(x) for x in res["per_subject_arousal"]],
+            f"{args.checkpoint_dir}/subject_accuracies.png",
+        )
+    _write_results(args, {
+        "per_subject": {
+            str(s): {
+                "a_acc": float(res["per_subject_arousal"][s]),
+                "v_acc": float(res["per_subject_valence"][s]),
+            }
+            for s in range(n_subjects)
+        },
+        "mean_arousal_acc": res["mean_arousal_acc"],
+        "mean_valence_acc": res["mean_valence_acc"],
+    })
+
+
 def cmd_simclr(args) -> None:
     """Contrastive pretrain -> frozen finetune LOSO loop (reference train.py)."""
     from .data import DeviceDataset, build_contrastive_pairs, loso_split
@@ -157,9 +266,16 @@ def cmd_simclr(args) -> None:
     full = DeviceDataset(arrays)
     subject_ids = subject_ids_array(n_subjects, ex_nums)
 
-    encoder = MultiModalEncoder()
-    projector = ProjectionHead()
-    classifier = Classifier()
+    mk = _model_kwargs(args)
+    if mk:
+        encoder = MultiModalEncoder(feat_dim=mk["feat_dim"],
+                                    eeg_time=mk["eeg_time"])
+        projector = ProjectionHead(in_dim=mk["feat_dim"])
+        classifier = Classifier(in_dim=mk["feat_dim"])
+    else:
+        encoder = MultiModalEncoder()
+        projector = ProjectionHead()
+        classifier = Classifier()
 
     results = {}
     for sid in _subject_range(args, n_subjects):
@@ -207,7 +323,7 @@ def cmd_single(args) -> None:
     for sid in _subject_range(args, n_subjects):
         tr_idx, te_idx = loso_split(n_subjects, ex_nums, sid)
         trainer = Trainer(
-            MultimodalTransformerModel(), full.subset(tr_idx),
+            MultimodalTransformerModel(**_model_kwargs(args)), full.subset(tr_idx),
             full.subset(te_idx), checkpoint_dir=args.checkpoint_dir,
             seed=args.seed, verbose=not args.quiet,
         )
@@ -239,7 +355,7 @@ def cmd_vloso(args) -> None:
 
         mesh = make_mesh()
     trainer = VectorizedLOSOTrainer(
-        MultimodalTransformerModel(), DeviceDataset(arrays),
+        MultimodalTransformerModel(**_model_kwargs(args)), DeviceDataset(arrays),
         n_subjects, ex_nums, seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else None,
         mesh=mesh,
@@ -306,7 +422,8 @@ def cmd_eval(args) -> None:
     full = DeviceDataset(arrays)
     sid = int(args.subjects or 0)
     _, te_idx = loso_split(n_subjects, ex_nums, sid)
-    tester = Tester(MultimodalTransformerModel(), full.subset(te_idx))
+    tester = Tester(MultimodalTransformerModel(**_model_kwargs(args)),
+                    full.subset(te_idx))
     results = tester.run(model_path=args.model_path, plot_dir=args.checkpoint_dir)
     _write_results(args, {
         "arousal_accuracy": results["arousal"]["accuracy"],
@@ -343,6 +460,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data", default=None, help="path to hci_data.pkl")
     p.add_argument("--synthetic", action="store_true",
                    help="use the deterministic synthetic dataset")
+    p.add_argument("--tiny", action="store_true",
+                   help="smoke mode: 3-subject synthetic set + shrunken "
+                        "model dims (fast compile; for CI and dry runs)")
     p.add_argument("--subjects", default=None,
                    help="comma-separated held-out subject indices (default all)")
     p.add_argument("--ex-nums", type=int, default=20, dest="ex_nums")
@@ -384,6 +504,17 @@ def main(argv: list[str] | None = None) -> None:
                    help="run each curriculum phase as ONE device program "
                         "(per-epoch optimizer reset + eval fused in; parity "
                         "mode only — removes per-epoch host round-trips)")
+    p.add_argument("--vectorized", action="store_true",
+                   help="train ALL subjects' curricula simultaneously: one "
+                        "vmapped device program per phase "
+                        "(train.vphased.VectorizedPhasedTrainer); "
+                        "per-subject math identical to the sequential loop")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (float32 master params); "
+                        "--vectorized only")
+    p.add_argument("--dp", action="store_true",
+                   help="shard the subject axis over all local devices "
+                        "(--vectorized only)")
     p.set_defaults(fn=cmd_phased)
 
     p = sub.add_parser("simclr", help="contrastive pretrain + finetune LOSO")

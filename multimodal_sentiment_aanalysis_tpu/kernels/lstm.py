@@ -363,13 +363,14 @@ def _recurrence_fwd(xp, w_hh, interpret):
     return h_seq, (xp, w_hh, h_seq, c_seq)
 
 
-def _recurrence_bwd(interpret, res, dh_seq):
-    xp, w_hh, h_seq, c_seq = res
-    dxp = _make_vm(interpret)[1](dh_seq, xp, h_seq, c_seq, w_hh)
-    # dW_hh[d] = sum_t h_prev(t)^T dgates(t); h_prev in actual time is
-    # h_seq shifted right along T for dir 0, left for dir 1 (zero at the
-    # boundary). Packed shapes: h_seq (..., T, B, 2H), dxp (..., T, B, 8H)
-    # — split the direction halves, shift, contract over (T, B).
+def dw_hh_packed(h_seq, dxp):
+    """dW_hh from packed-layout residuals (shared by the production VJP and
+    the fault-isolation variants in ``scripts/debug_lstm_fault.py``).
+
+    dW_hh[d] = sum_t h_prev(t)^T dgates(t); h_prev in actual time is
+    h_seq shifted right along T for dir 0, left for dir 1 (zero at the
+    boundary). Packed shapes: h_seq (..., T, B, 2H), dxp (..., T, B, 8H)
+    — split the direction halves, shift, contract over (T, B)."""
     hf = h_seq.astype(jnp.float32)
     hidden = hf.shape[-1] // 2
     h0 = hf[..., :hidden]   # (..., T, B, H)
@@ -383,7 +384,13 @@ def _recurrence_bwd(interpret, res, dh_seq):
     g4 = dxp.shape[-1] // 2
     dw0 = jnp.einsum("...tbh,...tbg->...hg", shift_r, dxp[..., :g4])
     dw1 = jnp.einsum("...tbh,...tbg->...hg", shift_l, dxp[..., g4:])
-    dw_hh = jnp.stack([dw0, dw1], axis=-3)  # (..., 2, H, 4H)
+    return jnp.stack([dw0, dw1], axis=-3)  # (..., 2, H, 4H)
+
+
+def _recurrence_bwd(interpret, res, dh_seq):
+    xp, w_hh, h_seq, c_seq = res
+    dxp = _make_vm(interpret)[1](dh_seq, xp, h_seq, c_seq, w_hh)
+    dw_hh = dw_hh_packed(h_seq, dxp)
     return dxp.astype(xp.dtype), dw_hh.astype(w_hh.dtype)
 
 

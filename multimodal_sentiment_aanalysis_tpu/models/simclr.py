@@ -68,15 +68,22 @@ class MultiModalEncoder(nn.Module):
 
     feat_dim: int = 256
     num_heads: int = 8
+    eeg_channels: int = 32
+    eeg_time: int = 585
 
     @nn.compact
     def __call__(
         self, eeg: jnp.ndarray, eye: jnp.ndarray, pps: jnp.ndarray,
         *, train: bool = False,
     ) -> jnp.ndarray:
-        eeg_feat = _l2norm(EEGMultiScaleNet(name="eeg_net")(eeg, train=train))
-        eye_feat = _l2norm(EyeMLPNet(name="eye_net")(eye, train=train))
-        pps_feat = _l2norm(PPSMLPNet(name="pps_net")(pps, train=train))
+        eeg_feat = _l2norm(EEGMultiScaleNet(
+            in_channels=self.eeg_channels, time_len=self.eeg_time,
+            feat_dim=self.feat_dim, name="eeg_net",
+        )(eeg, train=train))
+        eye_feat = _l2norm(EyeMLPNet(
+            feat_dim=self.feat_dim, name="eye_net")(eye, train=train))
+        pps_feat = _l2norm(PPSMLPNet(
+            feat_dim=self.feat_dim, name="pps_net")(pps, train=train))
 
         feats = jnp.stack([eeg_feat, eye_feat, pps_feat], axis=1)  # (B, 3, F)
         attn_out = MultiheadAttention(

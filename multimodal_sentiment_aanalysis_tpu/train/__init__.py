@@ -4,6 +4,7 @@ from .engine import Trainer
 from .simclr import contrastive_pretrain, finetune
 from .memhacl import memhacl_pretrain, memhacl_finetune
 from .vloso import VectorizedLOSOTrainer
+from .vphased import VectorizedPhasedTrainer
 
 __all__ = [
     "TrainState",
@@ -17,4 +18,5 @@ __all__ = [
     "memhacl_pretrain",
     "memhacl_finetune",
     "VectorizedLOSOTrainer",
+    "VectorizedPhasedTrainer",
 ]

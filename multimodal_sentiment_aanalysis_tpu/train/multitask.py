@@ -97,6 +97,70 @@ PHASES: dict[str, PhaseSpec] = {
 METRIC_KEYS = ("loss", "a_loss", "v_loss", "c_loss", "a_acc", "v_acc")
 
 
+def make_phase_loss(model, phase_loss: str, compute_dtype=None) -> Callable:
+    """Loss + metrics closure for one curriculum phase.
+
+    ``phase_loss`` picks which term trains (reference
+    ``MultiTaskTrainer.py:179-467`` — each phase backpropagates exactly one
+    loss). With ``compute_dtype`` set (e.g. ``'bfloat16'``), params and
+    inputs are cast for the forward/backward while losses, metrics, and
+    BatchNorm running stats stay float32 (same mixed-precision discipline
+    as :class:`.vloso.VectorizedLOSOTrainer`).
+    """
+
+    def loss_fn(params, batch_stats, batch, key):
+        eeg, eye, pps = batch["eeg"], batch["eye"], batch["pps"]
+        a, v, mask = batch["arousal"], batch["valence"], batch["mask"]
+        if compute_dtype is not None:
+            dt = jnp.dtype(compute_dtype)
+            params = cast_floating(params, dt)
+            eeg, eye, pps = (x.astype(dt) for x in (eeg, eye, pps))
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            eeg,
+            eye,
+            pps,
+            labels=(a, v, mask),
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": key},
+        )
+        arousal, valence, c1, c2, c3 = outs
+        if compute_dtype is not None:
+            arousal = arousal.astype(jnp.float32)
+            valence = valence.astype(jnp.float32)
+            c1, c2, c3 = (x.astype(jnp.float32) for x in (c1, c2, c3))
+        a_loss = masked_cross_entropy(arousal, a, mask)
+        v_loss = masked_cross_entropy(valence, v, mask)
+        losses = {
+            "c_eeg": c1,
+            "c_eye": c2,
+            "c_pps": c3,
+            "ce_arousal": a_loss,
+            "ce_valence": v_loss,
+        }
+        loss = losses[phase_loss]
+        n_valid = mask.sum()
+        metrics = {
+            "loss": loss * n_valid,
+            "a_loss": (a_loss if phase_loss == "ce_arousal" else 0.0) * n_valid,
+            "v_loss": (v_loss if phase_loss == "ce_valence" else 0.0) * n_valid,
+            "c_loss": (
+                losses[phase_loss] if phase_loss.startswith("c_") else 0.0
+            )
+            * n_valid,
+            "a_acc": masked_accuracy(arousal, a, mask) * n_valid,
+            "v_acc": masked_accuracy(valence, v, mask) * n_valid,
+            "n": n_valid,
+        }
+        new_bs = mutated["batch_stats"]
+        if compute_dtype is not None:
+            new_bs = cast_floating(new_bs, jnp.float32)
+        return loss, (new_bs, metrics)
+
+    return loss_fn
+
+
 class MultiTaskTrainer:
     """Phased curriculum trainer over device-resident data."""
 

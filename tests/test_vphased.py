@@ -1,0 +1,168 @@
+"""Vectorized phased-curriculum LOSO: equivalence vs the sequential loop.
+
+The vectorized trainer must reproduce, per subject, what an independent
+sequential :class:`MultiTaskTrainer` run with the same seed produces
+(reference flagship loop ``main.py:62-68``), up to float accumulation
+order under vmap/XLA fusion.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+N_SUBJECTS = 3
+EX = 16
+SEED = 123
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from multimodal_sentiment_aanalysis_tpu.models import (
+        MultimodalTransformerModel,
+    )
+
+    return MultimodalTransformerModel(feat_dim=32, eeg_time=64)
+
+
+@pytest.fixture(scope="module")
+def subject_data():
+    """Synthetic arrays with LOSO subject structure (3 subjects x 16)."""
+    rng = np.random.default_rng(7)
+    n = N_SUBJECTS * EX
+    labels_a = rng.integers(0, 3, n)
+    sig = rng.normal(size=(3, 32, 64)).astype(np.float32)
+    return {
+        "eeg": (rng.normal(size=(n, 32, 64)) * 0.3 + sig[labels_a]).astype(
+            np.float32
+        ),
+        "eye": rng.normal(size=(n, 38)).astype(np.float32),
+        "pps": rng.normal(size=(n, 230)).astype(np.float32),
+        "arousal": labels_a.astype(np.int64),
+        "valence": rng.integers(0, 3, n).astype(np.int64),
+    }
+
+
+@pytest.fixture(scope="module")
+def full_ds(subject_data):
+    from multimodal_sentiment_aanalysis_tpu.data import DeviceDataset
+
+    return DeviceDataset(subject_data)
+
+
+class TestVectorizedPhased:
+    def test_single_phase_smoke(self, tiny_model, full_ds):
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            VectorizedPhasedTrainer,
+        )
+
+        vt = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, batch_size=16,
+            seed=SEED, verbose=False,
+        )
+        out = vt.run_phase("eeg", 1)
+        assert out["loss"].shape == (N_SUBJECTS,)
+        assert np.isfinite(out["loss"]).all()
+        assert len(vt.metrics["train"]["loss"]) == 1
+        # 0-epoch phases are no-ops, like the sequential loop
+        assert vt.run_phase("eye", 0) == {}
+
+    def test_subjects_get_independent_inits(self, tiny_model, full_ds):
+        """Reference parity: each subject trains from a fresh init
+        (main.py:66 — the torch global RNG advances between subjects)."""
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            VectorizedPhasedTrainer,
+        )
+
+        vt = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, batch_size=16,
+            seed=SEED, verbose=False,
+        )
+        # some leaves (biases) are zero-init for every seed; at least one
+        # weight leaf must differ between subject inits
+        diff = max(
+            float(np.max(np.abs(np.asarray(l[0]) - np.asarray(l[1]))))
+            for l in jax.tree.leaves(vt.params)
+        )
+        assert diff > 1e-3, diff
+
+    @pytest.mark.slow
+    def test_matches_sequential_loop(self, tiny_model, full_ds, subject_data):
+        """Every subject's curriculum == an independent sequential
+        MultiTaskTrainer run with the same per-subject seed."""
+        from multimodal_sentiment_aanalysis_tpu.data import (
+            DeviceDataset,
+            loso_split,
+        )
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            MultiTaskTrainer,
+            VectorizedPhasedTrainer,
+        )
+
+        epochs = (1, 1, 1, 2, 2)
+        vt = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, batch_size=16,
+            seed=SEED, verbose=False,
+        )
+        vres = vt.run(*epochs)
+
+        mt = None
+        for sid in range(N_SUBJECTS):
+            tr_idx, te_idx = loso_split(N_SUBJECTS, EX, sid)
+            train_ds = full_ds.subset(tr_idx)
+            test_ds = full_ds.subset(te_idx)
+            if mt is None:
+                mt = MultiTaskTrainer(
+                    tiny_model, train_ds, test_ds, test_person=sid,
+                    batch_size=16, seed=SEED + sid, fused_phases=True,
+                    verbose=False,
+                )
+            else:
+                mt.reset(train_ds, test_ds, test_person=sid,
+                         seed=SEED + sid)
+            seq_final = mt.run(*epochs, save=False, plot=False)
+
+            vp = jax.tree.map(lambda x: np.asarray(x[sid]), vt.params)
+            deltas = jax.tree.map(
+                lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
+                vp, mt.params,
+            )
+            worst = max(jax.tree.leaves(deltas))
+            # vmap + XLA fusion reorder float accumulation; after 7 total
+            # epochs the param drift stays tiny if the math is identical
+            assert worst < 2e-3, (sid, worst)
+            assert abs(
+                float(vres["per_subject_arousal"][sid]) - seq_final["a_acc"]
+            ) < 1e-6 or worst < 2e-3
+
+    @pytest.mark.slow
+    def test_mesh_matches_single_device(self, tiny_model, full_ds):
+        """Subject-sharded run over the CPU mesh == unsharded run
+        (incl. subject-axis padding to the device multiple)."""
+        from jax.sharding import Mesh
+
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            VectorizedPhasedTrainer,
+        )
+
+        devs = np.asarray(jax.devices()[:4])
+        mesh = Mesh(devs, ("subjects",))
+
+        kw = dict(batch_size=16, seed=SEED, verbose=False)
+        a = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, **kw
+        )
+        b = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, mesh=mesh, **kw
+        )
+        assert b.n_total == 4  # padded to the device multiple
+        ra = a.run_phase("fusion_arousal", 1)
+        rb = b.run_phase("fusion_arousal", 1)
+        np.testing.assert_allclose(ra["loss"], rb["loss"], rtol=2e-4)
+        pa = jax.tree.leaves(a.params)[0]
+        pb = jax.tree.leaves(b.params)[0]
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb)[:N_SUBJECTS], atol=2e-5
+        )
