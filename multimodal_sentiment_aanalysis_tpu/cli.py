@@ -114,8 +114,8 @@ def cmd_phased(args) -> None:
         final = trainer.run(*args.epochs, save=True, plot=not args.no_plots)
         results[sid] = final
         print(
-            f"subject {sid}: arousal acc {final['a_acc']:.2%} "
-            f"valence acc {final['v_acc']:.2%}"
+            f"subject {sid}: arousal acc {final.get('a_acc', float('nan')):.2%} "
+            f"valence acc {final.get('v_acc', float('nan')):.2%}"
         )
         if args.history_dir:
             from .eval import Myreport, Tester
@@ -142,8 +142,8 @@ def cmd_phased(args) -> None:
                 "f1-score": f1,
                 "cm": cm,
             }
-    a = float(np.mean([r["a_acc"] for r in results.values()]))
-    v = float(np.mean([r["v_acc"] for r in results.values()]))
+    a = float(np.mean([r.get("a_acc", float("nan")) for r in results.values()]))
+    v = float(np.mean([r.get("v_acc", float("nan")) for r in results.values()]))
     print(f"LOSO mean: arousal {a:.2%} valence {v:.2%}")
     if args.history_dir and history:
         import datetime
@@ -301,8 +301,8 @@ def cmd_simclr(args) -> None:
             f"subject {sid}: arousal acc {final['a_acc']:.2%} "
             f"valence acc {final['v_acc']:.2%}"
         )
-    a = float(np.mean([r["a_acc"] for r in results.values()]))
-    v = float(np.mean([r["v_acc"] for r in results.values()]))
+    a = float(np.mean([r.get("a_acc", float("nan")) for r in results.values()]))
+    v = float(np.mean([r.get("v_acc", float("nan")) for r in results.values()]))
     print(f"LOSO mean: arousal {a:.2%} valence {v:.2%}")
     _write_results(args, {"per_subject": {str(k): v for k, v in results.items()},
                           "mean_arousal_acc": a, "mean_valence_acc": v})

@@ -695,25 +695,22 @@ class MultiTaskTrainer:
         plot: bool = True,
     ) -> dict[str, float]:
         """Full curriculum (reference ``MultiTaskTrainer.run``, ``:556-673``)."""
-        self._run_phase(
-            "eeg", epochs_phase_eeg,
-            "Phase EEGnet: contrastive training of the EEG encoder",
-        )
-        self._run_phase(
-            "eye", epochs_phase_eye,
-            "Phase EYEnet: contrastive training of the eye encoder",
-        )
-        self._run_phase(
-            "pps", epochs_phase_pps,
-            "Phase PPSnet: contrastive training of the PPS encoder",
-        )
-        self._run_phase(
-            "fusion_arousal", epochs_phase2,
-            "Phase 2: fusion modules + arousal head (CE-arousal)",
-        )
-        test_m = self._run_phase(
-            "valence", epochs_phase3, "Phase 3: valence head (CE-valence)"
-        )
+        test_m: dict[str, float] = {}
+        for phase, epochs, title in (
+            ("eeg", epochs_phase_eeg,
+             "Phase EEGnet: contrastive training of the EEG encoder"),
+            ("eye", epochs_phase_eye,
+             "Phase EYEnet: contrastive training of the eye encoder"),
+            ("pps", epochs_phase_pps,
+             "Phase PPSnet: contrastive training of the PPS encoder"),
+            ("fusion_arousal", epochs_phase2,
+             "Phase 2: fusion modules + arousal head (CE-arousal)"),
+            ("valence", epochs_phase3,
+             "Phase 3: valence head (CE-valence)"),
+        ):
+            # a 0-epoch phase is a no-op; keep the last phase that RAN so
+            # the returned test metrics are never empty mid-curriculum
+            test_m = self._run_phase(phase, epochs, title) or test_m
 
         if save:
             name = metrics_checkpoint_name(

@@ -378,6 +378,9 @@ class VectorizedPhasedTrainer:
         for phase, epochs in plan.items():
             self.run_phase(phase, epochs)
         last = self._last_test
+        if not last:  # all-zero-epoch curriculum
+            nan = np.full((self.n_subjects,), np.nan)
+            last = {k: nan for k in METRIC_KEYS}
         return {
             "mean_arousal_acc": float(np.mean(last["a_acc"])),
             "mean_valence_acc": float(np.mean(last["v_acc"])),

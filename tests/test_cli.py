@@ -1,0 +1,150 @@
+"""CLI driver smoke tests: every subcommand end-to-end in --tiny mode.
+
+The reference's entry points (``main.py:52-68``, ``train.py:141-205``,
+``ME-MHACL/train.py``) are the contract users touch; these tests run each
+rebuilt subcommand on the tiny synthetic config and assert the results
+JSON / printed metrics parse and are finite — catching wiring regressions
+the unit tests can't.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from multimodal_sentiment_aanalysis_tpu import cli
+
+
+def _run(argv):
+    cli.main(argv)
+
+
+def _tiny(cmd, *extra):
+    return [cmd, "--tiny", "--quiet", "--no-plots", *extra]
+
+
+def _check_json(path, keys=("mean_arousal_acc",)):
+    with open(path) as f:
+        payload = json.load(f)
+    for k in keys:
+        assert np.isfinite(payload[k]), (k, payload)
+    return payload
+
+
+class TestCLISmoke:
+    def test_inspect(self, capsys):
+        _run(["inspect", "--tiny", "--batch-size", "8"])
+        out = capsys.readouterr().out
+        assert "finite-check: OK" in out
+
+    def test_phased_sequential(self, tmp_path):
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "phased", "--epochs", "1", "0", "0", "0", "1",
+            "--subjects", "0,1",
+            "--checkpoint-dir", str(tmp_path),
+            "--results-json", str(res),
+        ))
+        payload = _check_json(res, ("mean_arousal_acc", "mean_valence_acc"))
+        assert set(payload["per_subject"]) == {"0", "1"}
+
+    @pytest.mark.slow
+    def test_phased_vectorized(self, tmp_path):
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "phased", "--vectorized", "--epochs", "1", "0", "0", "1", "0",
+            "--checkpoint-dir", str(tmp_path),
+            "--results-json", str(res),
+        ))
+        payload = _check_json(res, ("mean_arousal_acc", "mean_valence_acc"))
+        assert len(payload["per_subject"]) == 3
+        # per-subject checkpoints written like the sequential driver's
+        assert any(p.name.startswith("TestPerson")
+                   for p in tmp_path.iterdir())
+
+    @pytest.mark.slow
+    def test_phased_fused_history(self, tmp_path):
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "phased", "--fused-phases", "--epochs", "1", "0", "0", "0", "0",
+            "--subjects", "0",
+            "--checkpoint-dir", str(tmp_path),
+            "--history-dir", str(tmp_path),
+            "--results-json", str(res),
+        ))
+        _check_json(res)
+        assert list(tmp_path.glob("*.csv")), "history CSV not written"
+
+    @pytest.mark.slow
+    def test_simclr(self, tmp_path):
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "simclr", "--pretrain-epochs", "1", "--finetune-epochs", "1",
+            "--subjects", "0",
+            "--results-json", str(res),
+        ))
+        _check_json(res)
+
+    @pytest.mark.slow
+    def test_single(self, tmp_path):
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "single", "--epochs", "2", "--subjects", "0",
+            "--checkpoint-dir", str(tmp_path),
+            "--results-json", str(res),
+        ))
+        _check_json(res)
+
+    @pytest.mark.slow
+    def test_vloso(self, tmp_path):
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "vloso", "--epochs", "2", "--fused",
+            "--results-json", str(res),
+        ))
+        payload = _check_json(res, ("mean_arousal_acc", "mean_valence_acc"))
+        assert len(payload["per_subject_arousal"]) == 3
+
+    def test_memhacl(self, tmp_path):
+        res = tmp_path / "r.json"
+        _run([
+            "memhacl", "--synthetic", "--quiet", "--no-plots",
+            "--n-samples", "32", "--pretrain-epochs", "1",
+            "--finetune-epochs", "1", "--results-json", str(res),
+        ])
+        with open(res) as f:
+            payload = json.load(f)
+        assert np.isfinite(payload["a_acc"])
+
+    @pytest.mark.slow
+    def test_eval_roundtrip(self, tmp_path):
+        """eval loads a checkpoint written by the phased driver."""
+        import jax
+
+        from multimodal_sentiment_aanalysis_tpu.models import (
+            MultimodalTransformerModel,
+        )
+        from multimodal_sentiment_aanalysis_tpu.utils.checkpoint import (
+            save_checkpoint,
+        )
+
+        model = MultimodalTransformerModel(feat_dim=32, eeg_time=64)
+        rng = np.random.default_rng(0)
+        variables = model.init(
+            jax.random.key(0),
+            rng.normal(size=(1, 32, 64)).astype(np.float32),
+            rng.normal(size=(1, 38)).astype(np.float32),
+            rng.normal(size=(1, 230)).astype(np.float32),
+        )
+        ckpt = str(tmp_path / "model.msgpack")
+        save_checkpoint(ckpt, {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        })
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "eval", "--model-path", ckpt, "--subjects", "0",
+            "--checkpoint-dir", str(tmp_path),
+            "--results-json", str(res),
+        ))
+        _check_json(res, ("arousal_accuracy", "valence_accuracy"))
