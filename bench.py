@@ -17,9 +17,10 @@ Secondary configs (logged to stderr and carried in the JSON line's
 
 - ``vloso_bf16``  — the same fused program with bfloat16 compute
   (float32 master params), the native-MXU-rate path;
-- ``phased``      — single-subject phased-curriculum epoch throughput,
-  the reference's actual flagship workload
-  (``dataLoader/MultiTaskTrainer.py:556-673``);
+- ``phased``      — vectorized phased-curriculum throughput: ALL subjects'
+  curricula in one vmapped program per phase — the reference's actual
+  flagship workload (``dataLoader/MultiTaskTrainer.py:556-673``), subject
+  axis vectorized since round 3 (round 2 benched one subject at a time);
 - ``serving``     — inference forward (``eval/serving.py``) latency and
   throughput over a scan of distinct batches (distinct per invocation:
   the TPU tunnel memoizes byte-identical executions, so pure-fn timing
@@ -183,36 +184,39 @@ def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None):
 
 
 def bench_phased(model_cls, full_ds, n_subjects, ex_nums):
-    """Single-subject phased-curriculum throughput (the reference's
-    flagship loop): a whole fusion_arousal phase (train + per-epoch eval)
-    as ONE fused device program (``MultiTaskTrainer.run_phase_fused`` —
-    identical parity-mode math to the per-epoch host loop, equivalence
-    test in tests/test_train.py). Each invocation consumes fresh host-RNG
-    batch plans, so the tunnel cannot memoize repeats."""
+    """Vectorized phased-curriculum throughput — the reference's flagship
+    loop (24 sequential ``MultiTaskTrainer.run`` calls, ``main.py:62-68``)
+    as ONE vmapped device program per phase: ALL subjects' fusion_arousal
+    phases (train + per-epoch eval, per-epoch optimizer re-init) run
+    simultaneously (``train.vphased.VectorizedPhasedTrainer``; per-subject
+    equivalence to the sequential loop pinned in tests/test_vphased.py).
+    Round 2 benched the single-subject fused phase at 14.8k samples/s;
+    the subject axis was the missing parallelism. Each invocation consumes
+    fresh host-RNG batch plans, so the tunnel cannot memoize repeats."""
     import jax
 
-    from multimodal_sentiment_aanalysis_tpu.data.splits import loso_split
-    from multimodal_sentiment_aanalysis_tpu.train import MultiTaskTrainer
+    from multimodal_sentiment_aanalysis_tpu.train import (
+        VectorizedPhasedTrainer,
+    )
 
-    tr_idx, te_idx = loso_split(n_subjects, ex_nums, 0)
-    mt = MultiTaskTrainer(
-        model_cls(), full_ds.subset(tr_idx), full_ds.subset(te_idx),
-        verbose=False, fused_phases=True,
+    vt = VectorizedPhasedTrainer(
+        model_cls(), full_ds, n_subjects, ex_nums, batch_size=BATCH,
+        rng_impl="rbg", verbose=False,
     )
     t0 = time.perf_counter()
-    mt.run_phase_fused("fusion_arousal", PHASED_TIMED)
-    jax.block_until_ready(mt.params)
-    log(f"  compile + warm-up phase ({PHASED_TIMED} epochs): "
-        f"{time.perf_counter() - t0:.1f}s")
+    vt.run_phase("fusion_arousal", PHASED_TIMED)
+    jax.block_until_ready(vt.params)
+    log(f"  compile + warm-up phase ({PHASED_TIMED} epochs x "
+        f"{n_subjects} subjects): {time.perf_counter() - t0:.1f}s")
 
-    n_train = len(tr_idx)
+    n_train = vt.train_idx.shape[1]
     t0 = time.perf_counter()
-    mt.run_phase_fused("fusion_arousal", PHASED_TIMED)
-    jax.block_until_ready(mt.params)
+    vt.run_phase("fusion_arousal", PHASED_TIMED)
+    jax.block_until_ready(vt.params)
     elapsed = time.perf_counter() - t0
-    sps = PHASED_TIMED * n_train / elapsed
-    log(f"  {PHASED_TIMED} phased epochs (incl. per-epoch eval) in "
-        f"{elapsed:.3f}s -> {sps:.0f} samples/s")
+    sps = PHASED_TIMED * n_subjects * n_train / elapsed
+    log(f"  {PHASED_TIMED} phased epochs x {n_subjects} subjects "
+        f"(incl. per-epoch eval) in {elapsed:.3f}s -> {sps:.0f} samples/s")
     return sps
 
 
@@ -347,7 +351,7 @@ def main() -> None:
     except Exception as e:  # never lose the headline to a secondary config
         log(f"  bf16 config failed: {e!r}")
 
-    log("[3/4] phased-curriculum single-subject training")
+    log("[3/4] vectorized phased-curriculum training (all subjects)")
     try:
         extra["phased_samples_per_sec"] = round(
             bench_phased(MultimodalTransformerModel, ds, n_subjects, ex_nums), 1
