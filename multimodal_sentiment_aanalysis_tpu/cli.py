@@ -88,6 +88,13 @@ def cmd_phased(args) -> None:
     if args.vectorized:
         _phased_vectorized(args, model, full, n_subjects, ex_nums)
         return
+    mesh = None
+    if args.dp:
+        # batch-DP for the sequential loop: batch rows sharded over all
+        # local devices, XLA inserts the collectives (GSPMD)
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
     trainer = None
     tester = None
     results: dict[int, dict[str, float]] = {}
@@ -104,7 +111,7 @@ def cmd_phased(args) -> None:
                 checkpoint_dir=args.checkpoint_dir, seed=args.seed + sid,
                 verbose=not args.quiet,
                 reset_optimizer_each_epoch=not args.no_reset_optimizer,
-                fused_phases=args.fused_phases,
+                fused_phases=args.fused_phases, mesh=mesh,
             )
         else:
             # shapes are identical across subjects: reuse compiled programs
@@ -513,8 +520,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="bfloat16 compute (float32 master params); "
                         "--vectorized only")
     p.add_argument("--dp", action="store_true",
-                   help="shard the subject axis over all local devices "
-                        "(--vectorized only)")
+                   help="multi-device scale-out: with --vectorized, shard "
+                        "the subject axis over all local devices; in the "
+                        "sequential loop, shard each batch's rows (GSPMD "
+                        "batch-DP, XLA-inserted collectives)")
     p.set_defaults(fn=cmd_phased)
 
     p = sub.add_parser("simclr", help="contrastive pretrain + finetune LOSO")

@@ -112,9 +112,10 @@ def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
     Blocks: xp (S,1,B,4H) — the direction's 4H half of the packed
     (T,B,8H) projection at its actual-time index (the direction select is
     LANE blocking in the BlockSpec, so no (2,T,B,4H) copy ever exists);
-    whh (S,1,H,4H); h_seq out (S,1,B,H) into the packed (T,B,2H) layout;
-    c_seq out (S,1,1,B,H). h/c live in (S,B,H) float32 scratch across the
-    T sweep and reset when a direction starts."""
+    whh (S,1,H,4H); h_seq AND c_seq out (S,1,B,H) into packed (T,B,2H)
+    layouts (both outputs share the same lane-blocked spec). h/c live in
+    (S,B,H) float32 scratch across the T sweep and reset when a direction
+    starts."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -144,20 +145,23 @@ def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
     h_scr[...] = h
     c_scr[...] = c
     hs_ref[:, 0] = h.astype(hs_ref.dtype)
-    cs_ref[:, 0, 0] = c.astype(cs_ref.dtype)
+    cs_ref[:, 0] = c.astype(cs_ref.dtype)
 
 
 def _fwd_call(xp: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
     """xp (S, T, B, 8H) packed [fwd|bwd] projections, actual-time order;
-    w_hh (S, 2, H, 4H). Returns h_seq (S, T, B, 2H) packed [fwd|bwd] and
-    c_seq (S, 2, T, B, H) float32, both actual-time."""
+    w_hh (S, 2, H, 4H). Returns h_seq AND c_seq as packed (S, T, B, 2H)
+    [fwd|bwd] actual-time layouts (c_seq float32). v5: c_seq shares h's
+    4-D lane-blocked layout — the earlier 5-D (S,2,T,B,H) c output was
+    implicated in a runtime device fault under one gradient-consumption
+    composition (see module "Known issue"), and one layout family for
+    both outputs is simpler anyway."""
     S, T, B, G2 = xp.shape
     G = G2 // 2
     H = G // 4
 
     # direction d reads/writes the d-th lane block of the packed last dim
     xmap = lambda d, t: (0, _time_map(d, t, T), 0, d)
-    cmap = lambda d, t: (0, d, _time_map(d, t, T), 0, 0)
     return pl.pallas_call(
         _fwd_kernel,
         grid=(2, T),
@@ -168,11 +172,11 @@ def _fwd_call(xp: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool):
         ],
         out_specs=[
             pl.BlockSpec((S, 1, B, H), xmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, 1, B, H), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, B, H), xmap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((S, T, B, 2 * H), xp.dtype),
-            jax.ShapeDtypeStruct((S, 2, T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((S, T, B, 2 * H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, B, H), jnp.float32),
@@ -208,7 +212,7 @@ def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
 
     first = tau == T - 1  # recurrence step 0: no previous state
     h_prev = jnp.where(first, 0.0, hprev_ref[:, 0].astype(jnp.float32))
-    c_prev = jnp.where(first, 0.0, cprev_ref[:, 0, 0])
+    c_prev = jnp.where(first, 0.0, cprev_ref[:, 0])
 
     rec = jax.lax.dot_general(  # batched over S — see forward kernel note
         h_prev, whh_ref[:, 0],
@@ -224,7 +228,7 @@ def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
     o = _sigmoid(gates[..., 3 * hidden:])
 
     dh = dh_ref[:, 0].astype(jnp.float32) + dh_scr[...]
-    tc = jnp.tanh(ccur_ref[:, 0, 0])
+    tc = jnp.tanh(ccur_ref[:, 0])
     do = dh * tc
     dc = dc_scr[...] + dh * o * (1.0 - tc * tc)
     di = dc * g
@@ -251,9 +255,9 @@ def _bwd_kernel(dh_ref, xp_ref, hprev_ref, ccur_ref, cprev_ref,
 
 
 def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
-    """Reverse sweep. dh_seq/h_seq are packed (S, T, B, 2H), xp is packed
-    (S, T, B, 8H), c_seq is (S, 2, T, B, H). Returns dxp packed
-    (S, T, B, 8H) float32, actual-time order."""
+    """Reverse sweep. dh_seq/h_seq/c_seq are packed (S, T, B, 2H), xp is
+    packed (S, T, B, 8H). Returns dxp packed (S, T, B, 8H) float32,
+    actual-time order."""
     S, T, B, G2 = xp.shape
     G = G2 // 2
     H = G // 4
@@ -268,8 +272,6 @@ def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
 
     amap = lambda d, tau: (0, a(d, tau), 0, d)       # packed-lane layouts
     pmap = lambda d, tau: (0, prev(d, tau), 0, d)
-    cmap = lambda d, tau: (0, d, a(d, tau), 0, 0)    # c_seq layout
-    cpmap = lambda d, tau: (0, d, prev(d, tau), 0, 0)
     wmap = lambda d, tau: (0, d, 0, 0)
 
     return pl.pallas_call(
@@ -279,8 +281,8 @@ def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
             pl.BlockSpec((S, 1, B, H), amap, memory_space=pltpu.VMEM),   # dh
             pl.BlockSpec((S, 1, B, G), amap, memory_space=pltpu.VMEM),   # xp
             pl.BlockSpec((S, 1, B, H), pmap, memory_space=pltpu.VMEM),   # h_prev
-            pl.BlockSpec((S, 1, 1, B, H), cmap, memory_space=pltpu.VMEM),   # c_cur
-            pl.BlockSpec((S, 1, 1, B, H), cpmap, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((S, 1, B, H), amap, memory_space=pltpu.VMEM),   # c_cur
+            pl.BlockSpec((S, 1, B, H), pmap, memory_space=pltpu.VMEM),   # c_prev
             pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),   # whh
             pl.BlockSpec((S, 1, G, H), wmap, memory_space=pltpu.VMEM),   # whh^T
         ],

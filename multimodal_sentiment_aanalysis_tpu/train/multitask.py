@@ -47,6 +47,7 @@ from ..ops.losses import masked_accuracy, masked_cross_entropy
 from ..utils.checkpoint import metrics_checkpoint_name, save_checkpoint
 from ..utils.schedule import ReduceLROnPlateau
 from .state import (
+    cast_floating,
     clip_by_global_norm,
     make_masked_adamw,
     module_mask,
@@ -179,6 +180,7 @@ class MultiTaskTrainer:
         seed: int = 42,
         checkpoint_dir: str = ".",
         verbose: bool = True,
+        mesh=None,
     ):
         self.model = model
         self.train_data = train_data
@@ -194,6 +196,22 @@ class MultiTaskTrainer:
         self.fused_phases = fused_phases and reset_optimizer_each_epoch
         self.checkpoint_dir = checkpoint_dir
         self.verbose = verbose
+        # batch-DP (net-new vs the single-device reference): with a mesh,
+        # every gathered batch gets a sharding constraint over the mesh's
+        # first axis and XLA partitions the step over the batch rows,
+        # inserting the gradient/BN-stat collectives (GSPMD flavor of
+        # parallel/dp.py). Params stay replicated; 1 device degenerates
+        # to the single-chip program. Equivalence pinned in
+        # tests/test_parallel.py.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._batch_shard = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0])
+            )
+        else:
+            self._batch_shard = None
 
         self.host_rng = np.random.default_rng(seed)
         key = jax.random.key(seed)
@@ -262,6 +280,15 @@ class MultiTaskTrainer:
             split: {k: [] for k in METRIC_KEYS} for split in ("train", "test", "val")
         }
 
+    def _shard_batch(self, batch: dict) -> dict:
+        """Annotate batch rows as sharded over the mesh (no-op off-mesh)."""
+        if self._batch_shard is None:
+            return batch
+        return {
+            k: jax.lax.with_sharding_constraint(v, self._batch_shard)
+            for k, v in batch.items()
+        }
+
     def _phase_tx(self, phase: str) -> optax.GradientTransformation:
         if phase not in self._tx:
             spec = PHASES[phase]
@@ -328,6 +355,7 @@ class MultiTaskTrainer:
                 idx, bmask = xs
                 batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
                 batch["mask"] = bmask
+                batch = self._shard_batch(batch)  # batch-DP (no-op off-mesh)
                 key, dk = jax.random.split(key)
                 (loss, (new_bs, metrics)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
@@ -359,6 +387,7 @@ class MultiTaskTrainer:
             def step(_, xs):
                 idx, bmask = xs
                 batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
+                batch = self._shard_batch(batch)
                 a, v, mask = batch["arousal"], batch["valence"], bmask
                 outs = model.apply(
                     {"params": params, "batch_stats": batch_stats},
@@ -419,6 +448,7 @@ class MultiTaskTrainer:
                 idx, bmask = xs
                 batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
                 batch["mask"] = bmask
+                batch = self._shard_batch(batch)  # batch-DP (no-op off-mesh)
                 key, dk = jax.random.split(key)
                 (loss, (new_bs, metrics)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
@@ -434,6 +464,7 @@ class MultiTaskTrainer:
             def eval_step(params, batch_stats, idx, bmask):
                 batch = {k: jnp.take(v, idx, axis=0)
                          for k, v in test_arrays.items()}
+                batch = self._shard_batch(batch)
                 a, v, mask = batch["arousal"], batch["valence"], bmask
                 arousal, valence, c1, c2, c3 = model.apply(
                     {"params": params, "batch_stats": batch_stats},

@@ -37,7 +37,7 @@ from multimodal_sentiment_aanalysis_tpu.kernels import lstm as lstm_mod
 
 def _jnp_fwd_packed(xp, w_hh):
     """xp (T,B,8H) packed [fwd|bwd] actual-time; w_hh (2,H,4H).
-    Returns h_seq (T,B,2H) packed actual-time + c_seq (2,T,B,H) f32."""
+    Returns h_seq AND c_seq (T,B,2H) packed actual-time (c f32)."""
     T, B, G2 = xp.shape
     G = G2 // 2
     H = G // 4
@@ -58,7 +58,7 @@ def _jnp_fwd_packed(xp, w_hh):
     h_seq = jnp.concatenate(
         [hs[:, 0], jnp.flip(hs[:, 1], 0)], axis=-1
     ).astype(xp.dtype)
-    c_seq = jnp.stack([cs[:, 0], jnp.flip(cs[:, 1], 0)], 0)  # (2,T,B,H)
+    c_seq = jnp.concatenate([cs[:, 0], jnp.flip(cs[:, 1], 0)], axis=-1)
     return h_seq, c_seq
 
 
@@ -76,7 +76,7 @@ def _jnp_bwd_packed(dh_seq, xp, h_seq, c_seq, w_hh):
     xp_rec = to_rec(xp[..., :G], xp[..., G:]).astype(jnp.float32)
     dh_rec = to_rec(dh_seq[..., :H], dh_seq[..., H:]).astype(jnp.float32)
     h_rec = to_rec(h_seq[..., :H], h_seq[..., H:]).astype(jnp.float32)
-    c_rec = jnp.stack([c_seq[0], jnp.flip(c_seq[1], 0)], 1)  # (T,2,B,H)
+    c_rec = to_rec(c_seq[..., :H], c_seq[..., H:]).astype(jnp.float32)
     z1 = jnp.zeros((1, 2, B, H), jnp.float32)
     h_prev = jnp.concatenate([z1, h_rec[:-1]], 0)
     c_prev = jnp.concatenate([z1, c_rec[:-1]], 0)

@@ -260,3 +260,50 @@ class TestDPEval:
         np.testing.assert_allclose(
             float(dist["loss"]), float(local["loss"]), rtol=1e-4
         )
+
+
+class TestMultiTaskBatchDP:
+    """Phased engine batch-DP: mesh run == single-device run."""
+
+    @pytest.mark.slow
+    def test_phased_dp_matches_single_device(self, mesh):
+        from multimodal_sentiment_aanalysis_tpu.data import DeviceDataset
+        from multimodal_sentiment_aanalysis_tpu.models import (
+            MultimodalTransformerModel,
+        )
+        from multimodal_sentiment_aanalysis_tpu.train import MultiTaskTrainer
+
+        model = MultimodalTransformerModel(feat_dim=32, eeg_time=64)
+        rng = np.random.default_rng(3)
+        n = 48
+        arrays = {
+            "eeg": rng.normal(size=(n, 32, 64)).astype(np.float32),
+            "eye": rng.normal(size=(n, 38)).astype(np.float32),
+            "pps": rng.normal(size=(n, 230)).astype(np.float32),
+            "arousal": rng.integers(0, 3, n).astype(np.int64),
+            "valence": rng.integers(0, 3, n).astype(np.int64),
+        }
+        train = DeviceDataset({k: v[:40] for k, v in arrays.items()})
+        test = DeviceDataset({k: v[40:] for k, v in arrays.items()})
+
+        kw = dict(batch_size=16, seed=5, verbose=False)
+        a = MultiTaskTrainer(model, train, test, **kw)
+        b = MultiTaskTrainer(model, train, test, mesh=mesh, **kw)
+        ra = a.train_epoch_phase("fusion_arousal")
+        rb = b.train_epoch_phase("fusion_arousal")
+        # same seed -> same plans/dropout keys; GSPMD only reorders float
+        # accumulation (partitionable threefry keeps the masks identical)
+        assert abs(ra["loss"] - rb["loss"]) < 1e-3, (ra, rb)
+        deltas = jax.tree.map(
+            lambda x, y: float(jnp.max(jnp.abs(x - y))), a.params, b.params
+        )
+        assert max(jax.tree.leaves(deltas)) < 1e-4
+
+        # the valence phase's grad-vs-update asymmetry survives DP too
+        ra = a.train_epoch_phase("valence")
+        rb = b.train_epoch_phase("valence")
+        assert abs(ra["loss"] - rb["loss"]) < 1e-3
+        deltas = jax.tree.map(
+            lambda x, y: float(jnp.max(jnp.abs(x - y))), a.params, b.params
+        )
+        assert max(jax.tree.leaves(deltas)) < 2e-4
