@@ -1,0 +1,331 @@
+"""Fused TRAIN-mode stem stage: BN(batch stats) + GELU + dropout + MaxPool.
+
+The inference stem kernel (:mod:`.conv_stem`) folds running-stat BN and is
+serving-only; training kept the jnp stem, whose post-conv tail costs several
+HBM passes over the stage's biggest tensor — the (B, 585, 64) conv output —
+plus threefry mask generation and a select-and-scatter pool backward
+(reference stage: ``MultimodalModel.py:28-39``).
+
+Split of labor (each part where it is strongest):
+
+- **XLA**: the convolution itself (MXU), the per-channel batch-stat
+  reduction, and the final BN input-gradient combine (one fused
+  elementwise pass).
+- **Pallas forward**: ONE pass over the conv output — normalize + exact
+  erf-GELU + dropout with IN-KERNEL RNG (``pltpu.prng_random_bits``; no
+  mask tensor is ever materialized) + windowed max — writing only the
+  pooled result.
+- **Pallas backward**: recomputes that pass from the conv output
+  (regenerating the same dropout bits from the same per-block seeds),
+  routes the pool gradient with `lax.reduce_max` VJP semantics
+  (ties split evenly), and emits dy plus per-block partial
+  dgamma/dbeta sums — no stored masks, no stored activations, no
+  select-and-scatter.
+
+Gradient note: batch mean/var enter as ``stop_gradient`` inputs and the
+backward returns the COMPLETE BatchNorm input gradient
+``inv*gamma*(dy - dbeta/N - xhat*dgamma/N)`` — the standard fused-BN
+formulation, so the caller's stats computation contributes no extra
+gradient path.
+
+Dropout stream: the fused path draws bits from the kernel PRNG seeded per
+(call, block) — same Bernoulli(1-p) distribution as ``nn.Dropout`` but a
+different stream than the jnp path (parity tests therefore pin p=0; a
+statistical test pins the keep rate).
+
+A/B parity (p=0, interpret mode) + mask-rate tests: ``tests/test_kernels.py``.
+Hardware A/B vs the XLA stage: see table in ``scripts/profile_stem.py``
+runs recorded below once measured.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .conv_stem import _erf
+
+_DISPATCH = True
+
+
+def enable_dispatch(on: bool) -> bool:
+    global _DISPATCH
+    old = _DISPATCH
+    _DISPATCH = bool(on)
+    return old
+
+
+def dispatch_enabled() -> bool:
+    return _DISPATCH
+
+
+def _gelu(y):
+    return 0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))
+
+
+def _gelu_grad(y):
+    phi = jnp.exp(-0.5 * y * y) * (1.0 / math.sqrt(2.0 * math.pi))
+    return 0.5 * (1.0 + _erf(y * (1.0 / math.sqrt(2.0)))) + y * phi
+
+
+def _keep_mask(shape, p: float):
+    """Bernoulli(1-p) keep mask from the kernel PRNG (must be preceded by
+    pltpu.prng_seed with the block's seed)."""
+    bits = pltpu.prng_random_bits(shape)  # int32 bits
+    thresh = int(p * 2.0 ** 32) - 2 ** 31  # compare in signed space
+    return bits >= jnp.int32(thresh)
+
+
+# ---------------------------------------------------------------------------
+# forward: one pass conv_out -> pooled
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(seed_ref, conv_ref, sc_ref, sh_ref, o_ref, *,
+                pool: int, t_out: int, p: float):
+    t_cov = t_out * pool
+    _, bt, _, c = conv_ref.shape
+    y = conv_ref[0, :, :t_cov, :] * sc_ref[0, 0][None, None, :] + \
+        sh_ref[0, 0][None, None, :]
+    a = _gelu(y)
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0, 0] + pl.program_id(1))
+        keep = _keep_mask((bt, t_cov, c), p)
+        a = jnp.where(keep, a * (1.0 / (1.0 - p)), 0.0)
+    o_ref[0] = a.reshape(bt, t_out, pool, c).max(axis=2).astype(o_ref.dtype)
+
+
+def _fwd_call(conv, sc, sh, seeds, *, pool, p, block_b, interpret):
+    """Batched over a leading model axis S: conv (S, B, T, C), sc/sh
+    (S, C), seeds (S, 8, 128). Grid (S, nb)."""
+    S, b, t, c = conv.shape
+    t_out = t // pool
+    nb = b // block_b
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, pool=pool, t_out=t_out, p=p),
+        grid=(S, nb),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, t, c), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_b, t_out, c),
+                               lambda s, i: (s, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, b, t_out, c), conv.dtype),
+        # the recompute-style body keeps ~a dozen (block_b, t, c) f32
+        # intermediates live; the 16 MB default scoped-VMEM cap is too
+        # tight at stage-1 shapes (v5e has 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(seeds, conv, sc.reshape(S, 1, c), sh.reshape(S, 1, c))
+
+
+# ---------------------------------------------------------------------------
+# backward: recompute pass, emit dy + per-block partial channel sums
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(seed_ref, conv_ref, dpool_ref, sc_ref, sh_ref,
+                mean_ref, inv_ref, dy_ref, dg_ref, db_ref, *,
+                pool: int, t_out: int, p: float):
+    t_cov = t_out * pool
+    _, bt, t_full, c = conv_ref.shape
+    cv = conv_ref[0, :, :t_cov, :]
+    y = cv * sc_ref[0, 0][None, None, :] + sh_ref[0, 0][None, None, :]
+    a = _gelu(y)
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0, 0] + pl.program_id(1))
+        keep = _keep_mask((bt, t_cov, c), p)
+        d = jnp.where(keep, a * (1.0 / (1.0 - p)), 0.0)
+    else:
+        d = a
+    dw = d.reshape(bt, t_out, pool, c)
+    mx = dw.max(axis=2, keepdims=True)
+    eq = (dw == mx).astype(jnp.float32)
+    cnt = eq.sum(axis=2, keepdims=True)
+    # lax.reduce_max VJP semantics: gradient split evenly among ties
+    dd = (eq * (dpool_ref[0][:, :, None, :] / cnt)).reshape(bt, t_cov, c)
+    if p > 0.0:
+        da = jnp.where(keep, dd * (1.0 / (1.0 - p)), 0.0)
+    else:
+        da = dd
+    dy = da * _gelu_grad(y)
+    xhat = (cv - mean_ref[0, 0][None, None, :]) * \
+        inv_ref[0, 0][None, None, :]
+    dy_ref[0, :, :t_cov, :] = dy.astype(dy_ref.dtype)
+    if t_cov < t_full:
+        dy_ref[0, :, t_cov:, :] = jnp.zeros(
+            (bt, t_full - t_cov, c), dy_ref.dtype)
+    # partial channel sums in row 0 of an (8, c) tile (Mosaic tiling
+    # wants full last-two-dim blocks); rows 1..7 zeroed, XLA sums all
+    zeros7 = jnp.zeros((7, c), jnp.float32)
+    dg_ref[0, 0] = jnp.concatenate(
+        [jnp.sum(dy * xhat, axis=(0, 1))[None], zeros7], axis=0
+    ).astype(dg_ref.dtype)
+    db_ref[0, 0] = jnp.concatenate(
+        [jnp.sum(dy, axis=(0, 1))[None], zeros7], axis=0
+    ).astype(db_ref.dtype)
+
+
+def _bwd_call(conv, dpool, sc, sh, mean, inv, seeds, *,
+              pool, p, block_b, interpret):
+    """Batched like :func:`_fwd_call`; returns (dy (S,B,T,C) f32,
+    dgamma/dbeta per-block partials (S, nb, 8, C))."""
+    S, b, t, c = conv.shape
+    t_out = t // pool
+    nb = b // block_b
+    cspec = pl.BlockSpec((1, 1, c), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, pool=pool, t_out=t_out, p=p),
+        grid=(S, nb),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, t, c), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, t_out, c), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            cspec, cspec, cspec, cspec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_b, t, c), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, c), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, c), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, b, t, c), jnp.float32),
+            jax.ShapeDtypeStruct((S, nb, 8, c), jnp.float32),
+            jax.ShapeDtypeStruct((S, nb, 8, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(seeds, conv, dpool, sc.reshape(S, 1, c), sh.reshape(S, 1, c),
+      mean.reshape(S, 1, c), inv.reshape(S, 1, c))
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap wrappers (the trainer vmap maps onto a leading grid axis) +
+# custom-VJP
+# ---------------------------------------------------------------------------
+
+_BLOCK_B = 8
+
+
+def _bcast(x, n):
+    return jnp.broadcast_to(x[None], (n,) + x.shape)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_vm(p: float, pool: int, interpret: bool):
+    kw = dict(pool=pool, p=p, block_b=_BLOCK_B, interpret=interpret)
+
+    @jax.custom_batching.custom_vmap
+    def vm_fwd(conv, sc, sh, seeds):
+        return _fwd_call(conv[None], sc[None], sh[None], seeds[None],
+                         **kw)[0]
+
+    @vm_fwd.def_vmap
+    def _fwd_rule(axis_size, in_batched, conv, sc, sh, seeds):
+        args = [v if bb else _bcast(v, axis_size)
+                for v, bb in zip((conv, sc, sh, seeds), in_batched)]
+        return _fwd_call(*args, **kw), True
+
+    @jax.custom_batching.custom_vmap
+    def vm_bwd(conv, dpool, sc, sh, mean, inv, seeds):
+        dy, dgp, dbp = _bwd_call(
+            conv[None], dpool[None], sc[None], sh[None], mean[None],
+            inv[None], seeds[None], **kw)
+        return dy[0], dgp[0], dbp[0]
+
+    @vm_bwd.def_vmap
+    def _bwd_rule(axis_size, in_batched, *ops):
+        args = [v if bb else _bcast(v, axis_size)
+                for v, bb in zip(ops, in_batched)]
+        return _bwd_call(*args, **kw), (True, True, True)
+
+    return vm_fwd, vm_bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_stage_train(conv, gamma, beta, mean, var, seeds,
+                      p: float, pool: int, eps: float = 1e-5,
+                      interpret: bool = False):
+    """BN(given batch stats) + GELU + dropout(p) + MaxPool(pool), fused.
+
+    conv: (B, T, C) conv output; gamma/beta: (C,) BN affine; mean/var:
+    (C,) batch statistics (the backward here returns the COMPLETE BN
+    input gradient, so pass them through ``lax.stop_gradient``); seeds:
+    (8, 128) int32 base-seed tile from :func:`make_seeds` (ignored when
+    p == 0). Returns (B, T//pool, C). vmap over models maps onto a
+    leading kernel grid axis.
+    """
+    inv = jax.lax.rsqrt(var + eps)
+    sc = gamma * inv
+    sh = beta - mean * sc
+    return _make_vm(p, pool, interpret)[0](conv, sc, sh, seeds)
+
+
+def _fst_fwd(conv, gamma, beta, mean, var, seeds, p, pool, eps, interpret):
+    out = fused_stage_train(conv, gamma, beta, mean, var, seeds,
+                            p, pool, eps, interpret)
+    return out, (conv, gamma, beta, mean, var, seeds)
+
+
+def _fst_bwd(p, pool, eps, interpret, res, dpool):
+    conv, gamma, beta, mean, var, seeds = res
+    inv = jax.lax.rsqrt(var + eps)
+    sc = gamma * inv
+    sh = beta - mean * sc
+    dy, dgp, dbp = _make_vm(p, pool, interpret)[1](
+        conv, dpool.astype(jnp.float32), sc, sh, mean, inv, seeds)
+    dgamma = dgp.sum(axis=(0, 1))
+    dbeta = dbp.sum(axis=(0, 1))
+    n = conv.shape[0] * conv.shape[1]
+    xhat = (conv.astype(jnp.float32) - mean) * inv
+    # complete fused-BN input gradient (stats-dependence folded in)
+    dconv = (inv * gamma) * (dy - dbeta / n - xhat * (dgamma / n))
+    import numpy as np
+    from jax import dtypes
+
+    dseeds = np.zeros(seeds.shape, dtypes.float0)  # int input -> float0
+    return (dconv.astype(conv.dtype), dgamma.astype(gamma.dtype),
+            dbeta.astype(beta.dtype), jnp.zeros_like(mean),
+            jnp.zeros_like(var), dseeds)
+
+
+fused_stage_train.defvjp(_fst_fwd, _fst_bwd)
+
+
+def supported_shape(b: int, c: int) -> bool:
+    """Batch must tile into the block size; channels must fill lanes."""
+    return b % _BLOCK_B == 0 and c % 64 == 0
+
+
+def make_seeds(key, b: int) -> jnp.ndarray:
+    """(8, 128) int32 base-seed tile from a JAX PRNG key (the kernels add
+    ``pl.program_id`` so every batch block draws a distinct stream; the
+    tile shape satisfies Mosaic's VMEM block tiling)."""
+    del b
+    base = jax.random.randint(
+        key, (), minval=-(2 ** 31), maxval=2 ** 31 - 1, dtype=jnp.int32
+    )
+    return jnp.full((8, 128), base, jnp.int32)

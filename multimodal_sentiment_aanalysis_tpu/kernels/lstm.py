@@ -62,23 +62,49 @@ faster Mosaic compile). v4 packed the direction axis into the LAST dim
 of xp/h_seq so the direction select became BlockSpec lane blocking —
 eliminating the (2,T,B,4H) stack/transpose passes over the layer's
 biggest tensors (the projections are transposed as (T,B,I) BEFORE the
-matmul, 4-8x less transpose traffic) — 10.75 ms fp32 f+bwd. Remaining
-gap to roofline is the serial per-step dot chain itself (146 dots of
-(64,128)@(128,512) at half-tile M occupancy).
+matmul, 4-8x less transpose traffic) — 10.75 ms fp32 f+bwd. v5 packed
+c_seq into the same 4-D lane-blocked layout as h_seq (dropping the 5-D
+(S,2,T,B,H) spec — one layout family for both outputs; part of the
+fault bisection below) at identical runtime (10.76 ms fp32 f+bwd,
+re-measured). Remaining gap to roofline is the serial per-step dot
+chain itself (146 dots of (64,128)@(128,512) at half-tile M occupancy).
 
-Known issue (open): one artificial profiling composition faults at
-runtime on the tunnel ("UNAVAILABLE: TPU device error ... kernel
-fault"): a chained train step whose gradients are consumed WITHOUT the
-clip+optimizer (``scripts/profile_step.py --only=no-update``).
-Reproducible in a fresh process; disappears with
-``ops.rnn.enable_fused_dispatch(False)``. Ruled out: the duplicated
-c_seq operand (a forced copy still faults) and implicit grid semantics
-(explicit ``dimension_semantics=("arbitrary","arbitrary")`` — now set
-anyway for self-documentation — still faults). Every production program —
-the vloso fused trainer (fp32 + bf16, 20-epoch invocations), the phased
-fused/loop paths, serving, and the CLI drivers — runs repeatedly clean,
-as do the interpret-mode parity tests. If a new composition hits this,
-dispatch off via ``enable_fused_dispatch(False)`` and re-profile.
+Known issue (characterized, root cause external): one artificial
+profiling composition faults at runtime on the tunnel ("UNAVAILABLE:
+TPU device error ... kernel fault"): the full-model chained train step
+whose gradients are consumed WITHOUT the clip+optimizer
+(``scripts/profile_step.py --only=no-update``). Round-3 bisection
+(``scripts/debug_lstm_fault.py`` — jnp twins of both kernels swapped in
+under the exact faulting composition, each in a fresh process):
+
+==========  ===========================================  ========
+variant     composition                                  result
+==========  ===========================================  ========
+kernel      fwd + bwd Pallas kernels (production)        FAULT
+fwdonly     Pallas fwd, pure-jnp bwd                     FAULT
+bwdonly     pure-jnp fwd, Pallas bwd                     clean
+jnp         both jnp (control)                           clean
+fwdnoc      Pallas fwd, its c output UNUSED (jnp c)      clean
+fwdbar      fwdonly + optimization_barrier on (h, c)     FAULT
+kernelbar   production + optimization_barrier            FAULT
+==========  ===========================================  ========
+
+So: the FORWARD kernel faults iff its c_seq output is consumed
+downstream, independent of c's layout (the original 5-D (S,2,T,B,H)
+and the v5 packed 4-D (S,T,B,2H) both fault), not fixed by a barrier,
+not the duplicated operand (forced copy faults). A minimal kernel-only
+chained repro (``scripts/repro_lstm_minimal.py`` — the 2-layer stack
+under the same per-leaf grad consumption, leaf/sync/fwd variants) runs
+CLEAN, so the trigger additionally requires the full model's
+surrounding XLA schedule. Every production program — the vloso fused
+trainer (fp32 + bf16, 20-epoch invocations), the phased fused/loop and
+vectorized-phased paths, serving, and the CLI drivers — runs repeatedly
+clean (re-validated with v5: ``profile_step --only=full`` 51.7 ms), as
+do the interpret-mode parity tests. Conclusion: an XLA-schedule-
+dependent runtime interaction (likely in the tunnel/Mosaic runtime)
+outside the kernel's own code. Mitigations if a NEW composition hits
+it: the ``MSA_FUSED_LSTM=0`` env kill switch, or
+``ops.rnn.enable_fused_dispatch(False)``.
 """
 
 from __future__ import annotations

@@ -57,6 +57,44 @@ def max_pool1d(x: jnp.ndarray, window: int) -> jnp.ndarray:
     return x.reshape(b, t_out, window, c).max(axis=2)
 
 
+class _BNVars(nn.Module):
+    """BatchNorm parameters/statistics with ``nn.BatchNorm``'s exact tree
+    layout (params ``scale``/``bias``, batch_stats ``mean``/``var``), but
+    normalization left to the caller — so the fused train-mode stem kernel
+    (:mod:`..kernels.conv_stem_train`) can own the normalize+GELU+dropout+
+    pool pass. Returns ``(scale, bias, mean, var)``; in train mode the
+    returned stats are the batch stats (flax formula: ``E[x^2]-E[x]^2``)
+    and the running stats are updated with the same ``momentum`` decay
+    ``nn.BatchNorm`` uses."""
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda *_: jnp.zeros((c,)), None
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda *_: jnp.ones((c,)), None
+        )
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            mean2 = jnp.mean(jnp.square(x), axis=axes)
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return scale, bias, mean, var
+
+
 class EEGMultiScaleNet(nn.Module):
     """Multi-scale conv + frequency branch + BiLSTM EEG encoder.
 
@@ -69,6 +107,40 @@ class EEGMultiScaleNet(nn.Module):
     feat_dim: int = 256
     dropout: float = 0.4
 
+    def _stage(self, h, weight, bias, padding, pool, bn_name, train):
+        """conv -> BN -> GELU -> dropout -> pool; on TPU in train mode the
+        post-conv tail runs as ONE fused Pallas pass
+        (:func:`..kernels.conv_stem_train.fused_stage_train`)."""
+        import jax
+
+        from ..kernels import conv_stem_train as cst
+
+        h = conv1d(h, weight, bias, padding=padding)
+        scale, bn_bias, mean, var = _BNVars(name=bn_name)(h, train)
+        p = self.dropout if train else 0.0
+        use_fused = (
+            train
+            and not self.is_initializing()
+            and cst.dispatch_enabled()
+            and jax.default_backend() == "tpu"
+            and cst.supported_shape(h.shape[0], h.shape[-1])
+        )
+        if use_fused:
+            if p > 0.0:
+                seeds = cst.make_seeds(self.make_rng("dropout"), h.shape[0])
+            else:
+                seeds = jnp.zeros((8, 128), jnp.int32)
+            return cst.fused_stage_train(
+                h, scale, bn_bias,
+                jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var),
+                seeds, float(p), pool,
+            )
+        # jnp path: exactly nn.BatchNorm's normalize + the original tail
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bn_bias
+        h = gelu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return max_pool1d(h, pool)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         b = x.shape[0]
@@ -79,25 +151,15 @@ class EEGMultiScaleNet(nn.Module):
             "conv1_weight", nn.initializers.lecun_normal(), (64, self.in_channels, 15)
         )
         b1 = self.param("conv1_bias", nn.initializers.zeros, (64,))
-        h = conv1d(xt, w1, b1, padding=7)  # (B, 585, 64)
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
-        )(h)
-        h = gelu(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = max_pool1d(h, 4)  # (B, 146, 64)
+        h = self._stage(xt, w1, b1, padding=7, pool=4, bn_name="bn1",
+                        train=train)  # (B, 146, 64)
 
         w2 = self.param(
             "conv2_weight", nn.initializers.lecun_normal(), (self.feat_dim, 64, 5)
         )
         b2 = self.param("conv2_bias", nn.initializers.zeros, (self.feat_dim,))
-        h = conv1d(h, w2, b2, padding=2)  # (B, 146, 256)
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
-        )(h)
-        h = gelu(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = max_pool1d(h, 2)  # (B, 73, 256)
+        h = self._stage(h, w2, b2, padding=2, pool=2, bn_name="bn2",
+                        train=train)  # (B, 73, 256)
 
         # --- frequency branch ----------------------------------------
         freq = x.mean(axis=1)  # (B, 585): mean over channels

@@ -252,3 +252,103 @@ class TestFusedBiLSTM:
         assert supported_shape(64, 128)
         assert not supported_shape(63, 128)  # sublane misaligned
         assert not supported_shape(64, 96)   # lane misaligned
+
+
+class TestFusedTrainStem:
+    """Train-mode fused stem stage (kernels/conv_stem_train.py)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(0)
+        B, T, C = 16, 585, 64
+        conv = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+        gamma = jnp.asarray(
+            (rng.normal(size=(C,)) * 0.3 + 1).astype(np.float32))
+        beta = jnp.asarray((rng.normal(size=(C,)) * 0.1).astype(np.float32))
+        return conv, gamma, beta
+
+    @staticmethod
+    def _jnp_ref(conv, gamma, beta, pool=4, eps=1e-5):
+        mean = conv.mean((0, 1))
+        var = (conv ** 2).mean((0, 1)) - mean ** 2
+        y = (conv - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+        a = 0.5 * y * (1 + jax.lax.erf(y / np.sqrt(2.0)))
+        b, t, c = conv.shape
+        t_out = t // pool
+        return a[:, : t_out * pool].reshape(b, t_out, pool, c).max(2)
+
+    def test_fwd_bwd_parity_nodrop(self):
+        """p=0 interpret-mode parity: values and all three gradients."""
+        from multimodal_sentiment_aanalysis_tpu.kernels import (
+            conv_stem_train as cst,
+        )
+
+        conv, gamma, beta = self._setup()
+        seeds = jnp.zeros((8, 128), jnp.int32)
+
+        def fused(conv, gamma, beta):
+            mean = conv.mean((0, 1))
+            var = (conv ** 2).mean((0, 1)) - mean ** 2
+            return cst.fused_stage_train(
+                conv, gamma, beta, jax.lax.stop_gradient(mean),
+                jax.lax.stop_gradient(var), seeds, 0.0, 4, 1e-5, True,
+            )
+
+        o_ref = self._jnp_ref(conv, gamma, beta)
+        o_fus = fused(conv, gamma, beta)
+        np.testing.assert_allclose(o_fus, o_ref, atol=1e-5)
+
+        g_ref = jax.grad(lambda *a: (self._jnp_ref(*a) ** 2).sum(),
+                         argnums=(0, 1, 2))(conv, gamma, beta)
+        g_fus = jax.grad(lambda *a: (fused(*a) ** 2).sum(),
+                         argnums=(0, 1, 2))(conv, gamma, beta)
+        for name, a, b in zip(("dconv", "dgamma", "dbeta"), g_ref, g_fus):
+            rel = float(jnp.max(jnp.abs(a - b))
+                        / (jnp.max(jnp.abs(a)) + 1e-9))
+            assert rel < 2e-4, (name, rel)
+
+    def test_model_stage_dispatches_and_matches(self):
+        """EEGMultiScaleNet's fused stage == jnp stage with dropout off
+        (interpret mode, forced dispatch)."""
+        from unittest import mock
+
+        from multimodal_sentiment_aanalysis_tpu.kernels import (
+            conv_stem_train as cst,
+        )
+        from multimodal_sentiment_aanalysis_tpu.models.eeg import (
+            EEGMultiScaleNet,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(16, 32, 64)).astype(np.float32))
+        model = EEGMultiScaleNet(time_len=64, feat_dim=256, dropout=0.0)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x
+        )
+
+        def run(v):
+            out, mut = model.apply(
+                v, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(2)},
+            )
+            return out, mut["batch_stats"]
+
+        o_jnp, bs_jnp = run(variables)
+        orig = cst.fused_stage_train
+
+        def forced(*args):
+            # force interpret mode + pretend we're on TPU
+            return orig(*args[:6], args[6], args[7], 1e-5, True)
+
+        from multimodal_sentiment_aanalysis_tpu.ops import rnn as _rnn
+
+        old = _rnn.enable_fused_dispatch(False)  # backend mock would also
+        try:                                     # flip the LSTM dispatch
+            with mock.patch.object(cst, "fused_stage_train", forced), \
+                    mock.patch.object(jax, "default_backend",
+                                      lambda: "tpu"):
+                o_fus, bs_fus = run(variables)
+        finally:
+            _rnn.enable_fused_dispatch(old)
+        np.testing.assert_allclose(o_fus, o_jnp, atol=2e-5)
+        for a, b in zip(jax.tree.leaves(bs_jnp), jax.tree.leaves(bs_fus)):
+            np.testing.assert_allclose(a, b, atol=1e-6)
