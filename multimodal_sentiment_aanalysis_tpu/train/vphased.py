@@ -210,8 +210,6 @@ class VectorizedPhasedTrainer:
         clip_norm = self.clip_norm
         model = self.model
         arrays = self.data.arrays  # FULL dataset; plans carry global rows
-        compute_dtype = self.compute_dtype
-
         def train_step(carry, xs):
             params, batch_stats, opt_state, key = carry
             idx, bmask = xs
@@ -230,12 +228,11 @@ class VectorizedPhasedTrainer:
             return (params, new_bs, opt_state, key), metrics
 
         def eval_step(params, batch_stats, idx, bmask):
+            # evaluation always runs float32 (params are fp32 masters;
+            # bf16 is a training-compute cast only)
             batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
             a, v, mask = batch["arousal"], batch["valence"], bmask
             eeg, eye, pps = batch["eeg"], batch["eye"], batch["pps"]
-            if compute_dtype is not None:
-                dt = jnp.dtype(compute_dtype)
-                eeg, eye, pps = (x.astype(dt) for x in (eeg, eye, pps))
             arousal, valence, c1, c2, c3 = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 eeg, eye, pps, labels=(a, v, mask), train=False,

@@ -31,13 +31,18 @@ B = int(os.environ.get("PROF_B", 64))
 N_CHAIN = int(os.environ.get("PROF_CHAIN", 30))
 
 
-def timed(fn, *args, reps=3):
-    out = fn(*args)
+def timed(fn, argf, reps=3):
+    """argf(i) -> args for rep i. Each rep MUST get different input
+    values: the tunnel memoizes byte-identical executions, and the
+    1e-12-scaled grad consumption underflows in fp32, so a carried-state
+    chain alone does NOT vary the inputs between reps."""
+    out = fn(*argf(0))
     jax.block_until_ready(out)
     best = 1e9
-    for _ in range(reps):
+    for i in range(1, reps + 1):
+        a = argf(i)
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*a)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     return best / N_CHAIN * 1e3
@@ -149,8 +154,9 @@ def main():
             return (params, nbs, key), None
 
         step = jax.vmap(lambda c, x: one(c, x)[0])
-        run = chain(lambda c, x: step(c, x), )
-        ms = timed(run, (params, bstats, keys), x_stem)
+        run = chain(lambda c, x: step(c, x))
+        ms = timed(run, lambda i: ((params, bstats, keys),
+                                   x_stem + i * 1e-6))
         print(f"{name:14s}: {ms:7.3f} ms/step", flush=True)
 
     # ---- infonce ----------------------------------------------------------
@@ -186,7 +192,7 @@ def main():
 
             return jax.lax.scan(body, f, None, length=N_CHAIN)[0]
 
-        ms = timed(run, feats, labels, ones)
+        ms = timed(run, lambda i: (feats + i * 1e-6, labels, ones))
         tag = ("infonce-K" if fused else "infonce") + \
             (" f+b" if backward else " fwd")
         print(f"{tag:14s}: {ms:7.3f} ms/step", flush=True)
@@ -257,7 +263,7 @@ def main():
 
         step = jax.vmap(one)
         run = chain(step)
-        ms = timed(run, (params, keys), x_stem)
+        ms = timed(run, lambda i: ((params, keys), x_stem + i * 1e-6))
         tag = "stem-FUSED f+b" if backward else "stem-FUSED fwd"
         print(f"{tag:14s}: {ms:7.3f} ms/step", flush=True)
 

@@ -89,6 +89,35 @@ class TestVectorizedPhased:
         assert diff > 1e-3, diff
 
     @pytest.mark.slow
+    def test_bf16_compute_runs_and_learns(self, tiny_model, full_ds):
+        """bfloat16 compute (fp32 master params): finite metrics, fp32
+        state preserved, loss moves."""
+        import jax.numpy as jnp
+
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            VectorizedPhasedTrainer,
+        )
+
+        vt = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, batch_size=16,
+            seed=SEED, compute_dtype="bfloat16", verbose=False,
+        )
+        out = vt.run_phase("fusion_arousal", 2)
+        assert np.isfinite(out["loss"]).all()
+        # master params and BN stats stay float32
+        assert all(
+            l.dtype == jnp.float32
+            for l in jax.tree.leaves(vt.params)
+            if jnp.issubdtype(l.dtype, jnp.floating)
+        )
+        assert all(
+            l.dtype == jnp.float32
+            for l in jax.tree.leaves(vt.batch_stats)
+        )
+        losses = np.stack(vt.metrics["train"]["loss"])  # (E, S)
+        assert losses[1].mean() < losses[0].mean() + 0.5
+
+    @pytest.mark.slow
     def test_matches_sequential_loop(self, tiny_model, full_ds, subject_data):
         """Every subject's curriculum == an independent sequential
         MultiTaskTrainer run with the same per-subject seed."""
