@@ -73,6 +73,16 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _sync(tree) -> None:
+    """Force completion via a host transfer of one leaf:
+    jax.block_until_ready can be a no-op over the axon tunnel (measured in
+    round 3 — it returned in 0.3 ms on work that took seconds), so every
+    timing boundary here pulls a value to host instead."""
+    import jax
+
+    np.asarray(jax.tree.leaves(tree)[0]).ravel()[0]
+
+
 def _flops(lowered_or_compiled) -> float | None:
     """FLOPs from XLA's cost analysis. NOTE: a ``while`` loop's body is
     counted ONCE, not x trip-count, so this must be fed a program with NO
@@ -160,13 +170,13 @@ def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None):
 
     t0 = time.perf_counter()
     p, bs, opt, dk, _ = compiled(*args)
-    jax.block_until_ready(p)
+    _sync(p)
     log(f"  warm-up invocation ({TIMED_EPOCHS} epochs): "
         f"{time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     p, bs, opt, dk, totals = compiled(p, bs, opt, dk, jax.random.key(8))
-    jax.block_until_ready(p)
+    _sync(p)
     elapsed = time.perf_counter() - t0
 
     n_train = trainer.train_idx.shape[1]  # valid rows per model-epoch
@@ -204,15 +214,15 @@ def bench_phased(model_cls, full_ds, n_subjects, ex_nums):
         rng_impl="rbg", verbose=False,
     )
     t0 = time.perf_counter()
-    vt.run_phase("fusion_arousal", PHASED_TIMED)
-    jax.block_until_ready(vt.params)
+    vt.run_phase("fusion_arousal", PHASED_TIMED)  # device_get inside syncs
+    _sync(vt.params)
     log(f"  compile + warm-up phase ({PHASED_TIMED} epochs x "
         f"{n_subjects} subjects): {time.perf_counter() - t0:.1f}s")
 
     n_train = vt.train_idx.shape[1]
     t0 = time.perf_counter()
-    vt.run_phase("fusion_arousal", PHASED_TIMED)
-    jax.block_until_ready(vt.params)
+    vt.run_phase("fusion_arousal", PHASED_TIMED)  # device_get inside syncs
+    _sync(vt.params)
     elapsed = time.perf_counter() - t0
     sps = PHASED_TIMED * n_subjects * n_train / elapsed
     log(f"  {PHASED_TIMED} phased epochs x {n_subjects} subjects "
@@ -279,10 +289,10 @@ def bench_serving(trainer, ds, peak):
         _rnn.enable_fused_dispatch(old)
         _rnn._FORCE_FULL_UNROLL = old_unroll
 
-    jax.block_until_ready(compiled(plan()))  # warm-up, distinct plan
+    _sync(compiled(plan()))  # warm-up, distinct plan
     t0 = time.perf_counter()
     out = compiled(plan())  # timed, another distinct plan
-    jax.block_until_ready(out)
+    _sync(out)
     elapsed = time.perf_counter() - t0
 
     lat_ms = elapsed / SERVE_K * 1e3

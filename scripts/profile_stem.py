@@ -31,19 +31,27 @@ B = int(os.environ.get("PROF_B", 64))
 N_CHAIN = int(os.environ.get("PROF_CHAIN", 30))
 
 
+def _sync(out):
+    """Force completion via a host transfer: jax.block_until_ready is NOT
+    reliable over the axon tunnel (measured: it can return in 0.3 ms while
+    the actual execution takes seconds — a no-op on freshly submitted
+    work). Pulling one leaf to host is the only trustworthy barrier."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf).ravel()[0]
+
+
 def timed(fn, argf, reps=3):
     """argf(i) -> args for rep i. Each rep MUST get different input
-    values: the tunnel memoizes byte-identical executions, and the
+    values (the tunnel memoizes byte-identical executions, and the
     1e-12-scaled grad consumption underflows in fp32, so a carried-state
-    chain alone does NOT vary the inputs between reps."""
-    out = fn(*argf(0))
-    jax.block_until_ready(out)
+    chain alone does NOT vary the inputs between reps), and completion is
+    forced with a host transfer (see _sync)."""
+    _sync(fn(*argf(0)))
     best = 1e9
     for i in range(1, reps + 1):
         a = argf(i)
         t0 = time.perf_counter()
-        out = fn(*a)
-        jax.block_until_ready(out)
+        _sync(fn(*a))
         best = min(best, time.perf_counter() - t0)
     return best / N_CHAIN * 1e3
 
