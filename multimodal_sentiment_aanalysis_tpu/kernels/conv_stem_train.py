@@ -33,9 +33,26 @@ Dropout stream: the fused path draws bits from the kernel PRNG seeded per
 different stream than the jnp path (parity tests therefore pin p=0; a
 statistical test pins the keep rate).
 
-A/B parity (p=0, interpret mode) + mask-rate tests: ``tests/test_kernels.py``.
-Hardware A/B vs the XLA stage: see table in ``scripts/profile_stem.py``
-runs recorded below once measured.
+A/B parity (p=0, interpret mode): ``tests/test_kernels.py``; on-device
+fused-vs-jnp value parity 2.7e-07 (``profile_stem.py --only=parity``).
+
+A/B hardware timing, TPU v5e, BOTH stem stages (conv in XLA identically
+on both sides), real vmapped shape (S=24 models, B=64, T=585, train
+mode with batch-stat BN + dropout 0.4), chained scan with host-transfer
+sync (``scripts/profile_stem.py``):
+
+===========  ==========  ============  =======
+config       XLA stage   fused kernel  speedup
+===========  ==========  ============  =======
+fp32 fwd       16.08 ms     9.23 ms      1.74x
+fp32 f+bwd     26.46 ms    20.89 ms      1.27x
+===========  ==========  ============  =======
+
+(The win is concentrated in the forward — one pass + in-kernel PRNG vs
+XLA's separate stat/normalize/mask passes; the recompute backward runs
+at ~parity with XLA's stored-activation backward.) For context the
+whole fp32 train step was 51.7 ms before this kernel: the stem tail was
+over a quarter of the step.
 """
 
 from __future__ import annotations
