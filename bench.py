@@ -83,6 +83,35 @@ def _sync(tree) -> None:
     np.asarray(jax.tree.leaves(tree)[0]).ravel()[0]
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _pure_xla():
+    """Disable every TPU Pallas dispatch (LSTM, train stem, InfoNCE) and
+    force full scan unrolls around a FLOP-counting lowering: XLA's cost
+    analysis cannot see inside custom calls, and a CPU lowering of a TPU
+    Pallas call fails outright."""
+    from multimodal_sentiment_aanalysis_tpu.kernels import (
+        conv_stem_train as _cst,
+    )
+    from multimodal_sentiment_aanalysis_tpu.ops import losses as _losses
+    from multimodal_sentiment_aanalysis_tpu.ops import rnn as _rnn
+
+    old_rnn = _rnn.enable_fused_dispatch(False)
+    old_cst = _cst.enable_dispatch(False)
+    old_inf = _losses.enable_fused_infonce(False)
+    old_unroll = _rnn._FORCE_FULL_UNROLL
+    _rnn._FORCE_FULL_UNROLL = True
+    try:
+        yield
+    finally:
+        _rnn.enable_fused_dispatch(old_rnn)
+        _cst.enable_dispatch(old_cst)
+        _losses.enable_fused_infonce(old_inf)
+        _rnn._FORCE_FULL_UNROLL = old_unroll
+
+
 def _flops(lowered_or_compiled) -> float | None:
     """FLOPs from XLA's cost analysis. NOTE: a ``while`` loop's body is
     counted ONCE, not x trip-count, so this must be fed a program with NO
@@ -130,20 +159,11 @@ def _train_step_flops(trainer) -> float | None:
     # for the CPU backend (the axon TPU backend's lowered cost_analysis
     # returns nothing / stalls — CPU HLO analysis runs locally and the
     # FLOP count is platform-independent).
-    from multimodal_sentiment_aanalysis_tpu.ops import rnn as _rnn
-
-    old = _rnn.enable_fused_dispatch(False)
-    old_unroll = _rnn._FORCE_FULL_UNROLL
-    _rnn._FORCE_FULL_UNROLL = True  # see _flops note: count every scan step
-    try:
-        with jax.default_device(jax.devices("cpu")[0]):
-            lowered = jax.jit(jax.vmap(one)).lower(
-                trainer.params, trainer.batch_stats, trainer.opt_state,
-                trainer.dropout_keys, idx,
-            )
-    finally:
-        _rnn.enable_fused_dispatch(old)
-        _rnn._FORCE_FULL_UNROLL = old_unroll
+    with _pure_xla(), jax.default_device(jax.devices("cpu")[0]):
+        lowered = jax.jit(jax.vmap(one)).lower(
+            trainer.params, trainer.batch_stats, trainer.opt_state,
+            trainer.dropout_keys, idx,
+        )
     return _flops(lowered)
 
 
@@ -275,19 +295,10 @@ def bench_serving(trainer, ds, peak):
     # un-folded (a slight FLOP overcount, i.e. MFU reads conservative).
     sample = {k: jnp.take(v, jnp.arange(BATCH), axis=0) for k, v in
               arrays.items() if k in ("eeg", "eye", "pps")}
-    from multimodal_sentiment_aanalysis_tpu.ops import rnn as _rnn
-
-    old = _rnn.enable_fused_dispatch(False)
-    old_unroll = _rnn._FORCE_FULL_UNROLL
-    _rnn._FORCE_FULL_UNROLL = True  # see _flops note
-    try:
-        with jax.default_device(jax.devices("cpu")[0]):
-            batch_flops = _flops(jax.jit(
-                lambda e, y, p: trainer.model.apply(variables, e, y, p)
-            ).lower(sample["eeg"], sample["eye"], sample["pps"]))
-    finally:
-        _rnn.enable_fused_dispatch(old)
-        _rnn._FORCE_FULL_UNROLL = old_unroll
+    with _pure_xla(), jax.default_device(jax.devices("cpu")[0]):
+        batch_flops = _flops(jax.jit(
+            lambda e, y, p: trainer.model.apply(variables, e, y, p)
+        ).lower(sample["eeg"], sample["eye"], sample["pps"]))
 
     _sync(compiled(plan()))  # warm-up, distinct plan
     t0 = time.perf_counter()

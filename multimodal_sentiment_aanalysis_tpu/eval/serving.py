@@ -19,6 +19,28 @@ math as a lean functional forward for deployment:
 (arousal_logits, valence_logits)`` closure. Parity with
 ``model.apply(variables, ...)`` (eval mode) is asserted by
 ``tests/test_serving.py`` to float tolerance.
+
+Batch-size sweep (``scripts/serve_sweep.py``, TPU v5e, host-sync timing,
+fp32, 2026-08-17): the forward is latency-bound below B~128 and saturates
+around B=256 —
+
+====  ============  ==============
+B     ms/batch      samples/s
+====  ============  ==============
+32    0.967         33,077
+64    1.257         50,918
+128   1.997         64,102
+256   3.419         74,885
+512   7.223         70,887
+====  ============  ==============
+
+The low headline MFU (~6% at B=64) is dominated by per-dispatch latency
+over small programs, not a gather-bound kernel: throughput scales ~2.3x
+from B=32 to B=256 while per-sample FLOPs are constant. For deployment,
+batch to 128-256; throughput falls slightly past B=256 (HBM-resident
+activations grow linearly while the MXU-bound conv/LSTM stages are
+already saturated). B=512 requires the stem kernel's raised scoped-VMEM
+cap (``kernels/conv_stem.py`` ``vmem_limit_bytes``).
 """
 
 from __future__ import annotations

@@ -119,6 +119,11 @@ def fused_conv_bn_gelu_pool(
         out_specs=pl.BlockSpec((block_b, t_out, o_ch), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b + b_pad, t_out, o_ch), x.dtype),
+        # B=512 serving overflowed the 16 MB default scoped-VMEM cap by
+        # 12 KB (v5e has 128 MB); headroom for large serving batches
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        ),
         interpret=interpret,
     )(xp, w, scale.reshape(1, o_ch), shift.reshape(1, o_ch))
     return out[:b]
