@@ -28,8 +28,9 @@ Fused multi-epoch mode: :meth:`train_epochs_fused` compiles E epochs into ONE
 program — an outer ``lax.scan`` over epochs whose per-epoch batch plans are
 built on device by :func:`..data.pipeline.epoch_plan_on_device` (shuffle +
 wrap-pad + mask inside jit). This removes every host round-trip from the
-training loop and, unlike the host-plan path (which drops the tail partial
-batch), covers ALL train rows each epoch via the wrap-around mask.
+training loop. Both plan paths (host and on-device) cover ALL train rows
+each epoch via the same wrap-pad + mask scheme, so they train on the same
+data distribution and differ only in where the shuffle runs.
 """
 
 from __future__ import annotations
@@ -265,19 +266,26 @@ class VectorizedLOSOTrainer:
 
     # ------------------------------------------------------------------
     def _epoch_plans(self) -> tuple[np.ndarray, np.ndarray]:
-        """Per-subject shuffled batch plans, (S, nb, B) + all-ones masks.
+        """Per-subject shuffled batch plans, (S, nb, B) + validity masks.
         Train rows per subject are identical in count, so plans stack into
-        one array; the tail partial batch is dropped (full batches only
-        keeps masks trivial in the host path — at 460 rows and B=64 that
-        drops <14% per epoch, resampled every epoch; :meth:`train_epochs_fused`
-        covers the tail via wrap-pad masks instead)."""
+        one array. The tail partial batch is covered by wrap-padding the
+        permutation and masking the padded entries — the same scheme
+        :func:`..data.pipeline.epoch_plan_on_device` uses in the fused
+        path, so both paths see every train row each epoch (round 2
+        dropped the tail here: ~14% of rows at 460 rows / B=64)."""
         n_train = self.train_idx.shape[1]
-        nb = n_train // self.batch_size
-        plans = np.empty((self.n_total, nb, self.batch_size), np.int32)
+        bsz = self.batch_size
+        nb = -(-n_train // bsz)
+        padded = nb * bsz
+        reps = -(-padded // n_train)
+        plans = np.empty((self.n_total, nb, bsz), np.int32)
         for s in range(self.n_total):
-            order = self.host_rng.permutation(n_train)[: nb * self.batch_size]
-            plans[s] = self.train_idx[s][order].reshape(nb, self.batch_size)
-        masks = np.ones_like(plans, np.float32)
+            order = np.tile(self.host_rng.permutation(n_train), reps)[:padded]
+            plans[s] = self.train_idx[s][order].reshape(nb, bsz)
+        masks = np.broadcast_to(
+            (np.arange(padded) < n_train).astype(np.float32).reshape(nb, bsz),
+            plans.shape,
+        ).copy()
         return plans, masks
 
     def train_epoch(self) -> dict[str, np.ndarray]:

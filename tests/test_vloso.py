@@ -85,6 +85,25 @@ def test_epoch_plans_index_only_train_rows(rng):
         assert not set(plans[s].ravel()) & set(t.test_idx[s])
 
 
+def test_epoch_plans_cover_tail_rows(rng):
+    """When n_train % batch_size != 0 the host plan wrap-pads the last
+    batch and masks the padding — every train row appears exactly once
+    among mask==1 slots (same distribution as the fused on-device plan;
+    round 2 silently dropped the tail here)."""
+    arrays = _tiny_arrays(rng, n_subj=3)
+    t = VectorizedLOSOTrainer(
+        MultimodalTransformerModel(feat_dim=16, eeg_time=16),
+        DeviceDataset(arrays), 3, 8, batch_size=6, seed=0,
+    )
+    plans, masks = t._epoch_plans()  # 16 train rows, batch 6 -> nb=3
+    assert plans.shape == (3, 3, 6) and masks.shape == plans.shape
+    assert masks.sum() == 3 * 16  # one real slot per train row per model
+    for s in range(3):
+        real = plans[s].ravel()[masks[s].ravel() == 1.0]
+        assert sorted(real) == sorted(t.train_idx[s])
+        assert set(plans[s].ravel()) <= set(t.train_idx[s])  # pads wrap
+
+
 @pytest.mark.slow
 class TestShardedAndFused:
     """Subject-axis DP sharding + the fused multi-epoch program."""
