@@ -101,6 +101,11 @@ def _core_fwd(n1, n2, labels, valid, temp):
 
 def _core_bwd(res, g):
     n1, n2, labels, valid, temp = res
+    in_dtype = n1.dtype  # cotangents must match the primal dtype (bf16 in
+    # mixed-precision training); the math itself runs in fp32 like the
+    # kernel's forward accumulation
+    n1 = n1.astype(jnp.float32)
+    n2 = n2.astype(jnp.float32)
     b = n1.shape[0]
     raw = n1 @ n2.T
     sim = raw / temp
@@ -115,8 +120,8 @@ def _core_bwd(res, g):
     nv = jnp.maximum(valid.sum(), 1.0)
     w = (valid[:, None] / nv) * g
     grad_s = w * (e / (a + _EPS) - pos * e / (p + _EPS))
-    dn1 = (grad_s @ n2) / temp
-    dn2 = (grad_s.T @ n1) / temp
+    dn1 = ((grad_s @ n2) / temp).astype(in_dtype)
+    dn2 = ((grad_s.T @ n1) / temp).astype(in_dtype)
     dtemp = -(grad_s * raw).sum() / (temp * temp)
     return dn1, dn2, None, None, dtemp.reshape(jnp.shape(res[4]))
 

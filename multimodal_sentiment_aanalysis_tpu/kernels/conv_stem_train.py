@@ -106,8 +106,13 @@ def _fwd_kernel(seed_ref, conv_ref, sc_ref, sh_ref, o_ref, *,
                 pool: int, t_out: int, p: float):
     t_cov = t_out * pool
     _, bt, _, c = conv_ref.shape
-    y = conv_ref[0, :, :t_cov, :] * sc_ref[0, 0][None, None, :] + \
-        sh_ref[0, 0][None, None, :]
+    # body math in fp32 regardless of input dtype: Mosaic cannot lower
+    # packed-bf16 float compares (the pool max -> arith.cmpf "Target does
+    # not support this comparison"), and fp32 VPU math costs nothing extra
+    # here while keeping BN/GELU numerics full-precision
+    y = conv_ref[0, :, :t_cov, :].astype(jnp.float32) * \
+        sc_ref[0, 0][None, None, :].astype(jnp.float32) + \
+        sh_ref[0, 0][None, None, :].astype(jnp.float32)
     a = _gelu(y)
     if p > 0.0:
         pltpu.prng_seed(seed_ref[0, 0, 0] + pl.program_id(1))
@@ -159,8 +164,10 @@ def _bwd_kernel(seed_ref, conv_ref, dpool_ref, sc_ref, sh_ref,
                 pool: int, t_out: int, p: float):
     t_cov = t_out * pool
     _, bt, t_full, c = conv_ref.shape
-    cv = conv_ref[0, :, :t_cov, :]
-    y = cv * sc_ref[0, 0][None, None, :] + sh_ref[0, 0][None, None, :]
+    # fp32 body like the forward (see _fwd_kernel dtype note)
+    cv = conv_ref[0, :, :t_cov, :].astype(jnp.float32)
+    y = cv * sc_ref[0, 0][None, None, :].astype(jnp.float32) + \
+        sh_ref[0, 0][None, None, :].astype(jnp.float32)
     a = _gelu(y)
     if p > 0.0:
         pltpu.prng_seed(seed_ref[0, 0, 0] + pl.program_id(1))
@@ -179,8 +186,8 @@ def _bwd_kernel(seed_ref, conv_ref, dpool_ref, sc_ref, sh_ref,
     else:
         da = dd
     dy = da * _gelu_grad(y)
-    xhat = (cv - mean_ref[0, 0][None, None, :]) * \
-        inv_ref[0, 0][None, None, :]
+    xhat = (cv - mean_ref[0, 0][None, None, :].astype(jnp.float32)) * \
+        inv_ref[0, 0][None, None, :].astype(jnp.float32)
     dy_ref[0, :, :t_cov, :] = dy.astype(dy_ref.dtype)
     if t_cov < t_full:
         dy_ref[0, :, t_cov:, :] = jnp.zeros(

@@ -63,6 +63,31 @@ class TestFusedInfoNCE:
         fn = jax.jit(lambda f: fused_supervised_infonce(f, f, labels, 0.1))
         assert np.isfinite(float(fn(f)))
 
+    def test_bf16_gradient(self, rng):
+        """bf16 features (the mixed-precision training path): cotangents
+        must come back in the primal dtype or the upstream l2-normalize
+        backward fails with a lax dtype mismatch (regression: bench bf16
+        config broke when the kernel was wired into supervised_infonce)."""
+        f = jnp.asarray(rng.normal(size=(24, 16))).astype(jnp.bfloat16)
+        labels = jnp.asarray(rng.integers(0, 3, 24))
+        t = jnp.asarray(0.05, jnp.float32)
+
+        def ours_loss(f):
+            return fused_supervised_infonce(f, f, labels, t).astype(jnp.float32)
+
+        def ref_loss(f):
+            # on the CPU test backend supervised_infonce never dispatches
+            # to the kernel, so this is the pure-jnp reference
+            return supervised_infonce(f, f, labels, t)
+
+        g = jax.grad(ours_loss)(f)
+        assert g.dtype == jnp.bfloat16
+        gref = jax.grad(lambda f: ref_loss(f).astype(jnp.float32))(f)
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(gref, np.float32),
+            rtol=0.1, atol=0.02,  # bf16 cotangent rounding
+        )
+
 
 class TestFlashMHA:
     @pytest.mark.parametrize(
@@ -305,6 +330,40 @@ class TestFusedTrainStem:
             rel = float(jnp.max(jnp.abs(a - b))
                         / (jnp.max(jnp.abs(a)) + 1e-9))
             assert rel < 2e-4, (name, rel)
+
+    def test_bf16_fwd_bwd(self):
+        """bf16 conv/params (mixed-precision training): the kernel body
+        upcasts to fp32 internally — on real hardware a bf16 body hits an
+        unlowerable packed-bf16 compare in the pool max (regression:
+        bench bf16 config). Values track the fp32 reference to bf16
+        resolution; cotangents come back in bf16."""
+        from multimodal_sentiment_aanalysis_tpu.kernels import (
+            conv_stem_train as cst,
+        )
+
+        conv, gamma, beta = self._setup()
+        conv16 = conv.astype(jnp.bfloat16)
+        g16, b16 = gamma.astype(jnp.bfloat16), beta.astype(jnp.bfloat16)
+        seeds = jnp.zeros((8, 128), jnp.int32)
+
+        def fused(conv, gamma, beta):
+            mean = conv.astype(jnp.float32).mean((0, 1))
+            var = (conv.astype(jnp.float32) ** 2).mean((0, 1)) - mean ** 2
+            return cst.fused_stage_train(
+                conv, gamma, beta, jax.lax.stop_gradient(mean),
+                jax.lax.stop_gradient(var), seeds, 0.0, 4, 1e-5, True,
+            )
+
+        o16 = fused(conv16, g16, b16)
+        o_ref = self._jnp_ref(conv, gamma, beta)
+        assert o16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(o16, np.float32), np.asarray(o_ref), atol=0.05)
+
+        g = jax.grad(lambda *a: (fused(*a).astype(jnp.float32) ** 2).sum(),
+                     argnums=(0, 1, 2))(conv16, g16, b16)
+        assert g[0].dtype == jnp.bfloat16
+        assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in g)
 
     def test_model_stage_dispatches_and_matches(self):
         """EEGMultiScaleNet's fused stage == jnp stage with dropout off
