@@ -53,12 +53,24 @@ XLA's separate stat/normalize/mask passes; the recompute backward runs
 at ~parity with XLA's stored-activation backward.) For context the
 whole fp32 train step was 51.7 ms before this kernel: the stem tail was
 over a quarter of the step.
+
+**bf16 negative (measured — dispatch is fp32-only).** With bf16 compute
+the kernel body must upcast to fp32 (Mosaic cannot lower packed-bf16
+float compares in the pool max), which forfeits both the VPU's 2x bf16
+rate and half the recompute traffic; XLA's native-bf16 stem tail wins.
+End-to-end A/B on v5e (``scripts/ab_bf16_fused.py``, fused 20-epoch
+vloso program, 2026-08-17): bf16 all-fused 35.5k samples/s vs 37.1k
+with the stem kernel off (fused InfoNCE on/off is noise-level: 35.5k
+both). ``EEGMultiScaleNet._stage`` therefore dispatches here only for
+fp32 activations; the bf16 kernel path stays functional (and tested)
+for forced-dispatch use.
 """
 
 from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,7 +79,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .conv_stem import _erf
 
-_DISPATCH = True
+# KILL SWITCH: MSA_FUSED_STEM=0 disables the fused train-stem dispatch
+# (same convention as MSA_FUSED_LSTM / MSA_FUSED_INFONCE).
+_DISPATCH = os.environ.get("MSA_FUSED_STEM", "1") != "0"
 
 
 def enable_dispatch(on: bool) -> bool:

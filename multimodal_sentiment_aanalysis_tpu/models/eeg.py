@@ -124,6 +124,12 @@ class EEGMultiScaleNet(nn.Module):
             and cst.dispatch_enabled()
             and jax.default_backend() == "tpu"
             and cst.supported_shape(h.shape[0], h.shape[-1])
+            # fp32 only: in bf16 the kernel's fp32 body loses to XLA's
+            # native-bf16 stem tail — hardware A/B 2026-08-17
+            # (scripts/ab_bf16_fused.py): bf16 vloso 35.5k samples/s fused
+            # vs 37.1k jnp, while fp32 gains 1.27x. See the "bf16 negative"
+            # note in kernels/conv_stem_train.py.
+            and h.dtype == jnp.float32
         )
         if use_fused:
             if p > 0.0:
