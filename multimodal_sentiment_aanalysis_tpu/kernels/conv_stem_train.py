@@ -22,6 +22,44 @@ Split of labor (each part where it is strongest):
   dgamma/dbeta sums — no stored masks, no stored activations, no
   select-and-scatter.
 
+**Full-lane layout (v2).** The kernels view the covered rows
+``(t_cov, C)`` as ``(t_out, pool*C)`` — the pool window folded into the
+LANE dimension. Two wins, measured stage-by-stage on v5e
+(``scripts/bench_stem_variants.py``, chained + host-sync):
+
+- stage 1's C=64 is half the 128-lane vreg width, so every VPU op in the
+  row-major layout ran at half throughput (the erf-GELU chain alone was
+  ~1.6 ms of the 3.55 ms stage); at ``pool*C = 256`` lanes are full.
+- the pool ``reshape(bt, t_out, pool, c).max(2)`` (sublane-strided
+  selects) becomes ``pool-1`` lane-slice ``maximum`` ops.
+
+===============  ==========  ==========  =======
+fwd kernel       row-major   full-lane   speedup
+===============  ==========  ==========  =======
+stage1 (T=585)     3.55 ms     1.78 ms    2.0x
+stage2 (T=146)     2.90 ms     1.72 ms    1.7x
+===============  ==========  ==========  =======
+
+The relayout itself: when ``C % 128 == 0`` (stage 2) the reshape happens
+IN-KERNEL on the loaded block — measured free (1.735 vs 1.718 ms on a
+pre-reshaped operand). Mosaic cannot lower the value reshape when the
+source last dim is < 128 (stage 1's C=64 fails to compile), so that case
+pays one XLA relayout pass on the host side (~1-2 ms of HBM round-trip
+at stage-1 size in situ — which eats roughly half the stage-1 kernel
+win, see the A/B table below — but is still a net gain). The backward
+emits dy in full-lane layout; the caller's reshape back is fused by XLA
+into the BN input-gradient combine.
+
+**Input-fusion negative (measured — do NOT enable).** Fusing the
+stage-1 relayout into the kernel's operand DMA via
+``CompilerParams(allow_input_fusion=...)`` looked like the obvious way
+to erase the host pass; in situ it is a >10x LOSS (98.7 ms fwd vs
+8.6 ms) — XLA re-evaluates the fused relayout per kernel block with
+block-strided reads from the (585, 64)-layout source. It also blows the
+16 MB scoped-vmem budget when applied to the in-kernel-reshape (stage-2
+backward) call. Removed after the A/B; the host relayout pass is the
+right trade.
+
 Gradient note: batch mean/var enter as ``stop_gradient`` inputs and the
 backward returns the COMPLETE BatchNorm input gradient
 ``inv*gamma*(dy - dbeta/N - xhat*dgamma/N)`` — the standard fused-BN
@@ -31,28 +69,34 @@ gradient path.
 Dropout stream: the fused path draws bits from the kernel PRNG seeded per
 (call, block) — same Bernoulli(1-p) distribution as ``nn.Dropout`` but a
 different stream than the jnp path (parity tests therefore pin p=0; a
-statistical test pins the keep rate).
+statistical test pins the keep rate). The v2 layout also permutes the
+stream relative to v1 (bits are drawn in (t_out, pool*C) order).
 
 A/B parity (p=0, interpret mode): ``tests/test_kernels.py``; on-device
-fused-vs-jnp value parity 2.7e-07 (``profile_stem.py --only=parity``).
+fused-vs-jnp value parity ``profile_stem.py --only=parity``.
 
 A/B hardware timing, TPU v5e, BOTH stem stages (conv in XLA identically
 on both sides), real vmapped shape (S=24 models, B=64, T=585, train
 mode with batch-stat BN + dropout 0.4), chained scan with host-transfer
 sync (``scripts/profile_stem.py``):
 
-===========  ==========  ============  =======
-config       XLA stage   fused kernel  speedup
-===========  ==========  ============  =======
-fp32 fwd       16.08 ms     9.23 ms      1.74x
-fp32 f+bwd     26.46 ms    20.89 ms      1.27x
-===========  ==========  ============  =======
+===========  ==========  ==============  ==============
+config       XLA stage   fused v1 (row)  fused v2 (FL)
+===========  ==========  ==============  ==============
+fp32 fwd       16.08 ms     9.23 ms        8.62 ms
+fp32 f+bwd     26.46 ms    20.89 ms       19.30 ms
+===========  ==========  ==============  ==============
+
+(v2's in-situ gain is smaller than the 2x per-stage kernel speedup
+because the composition also pays the stage-1 host relayout and keeps
+the XLA convs/stats unchanged; the standalone kernel table above is the
+clean comparison.)
 
 (The win is concentrated in the forward — one pass + in-kernel PRNG vs
 XLA's separate stat/normalize/mask passes; the recompute backward runs
-at ~parity with XLA's stored-activation backward.) For context the
-whole fp32 train step was 51.7 ms before this kernel: the stem tail was
-over a quarter of the step.
+closer to XLA's stored-activation backward.) For context the whole fp32
+train step was 51.7 ms before this kernel: the stem tail was over a
+quarter of the step.
 
 **bf16 negative (measured — dispatch is fp32-only).** With bf16 compute
 the kernel body must upcast to fp32 (Mosaic cannot lower packed-bf16
@@ -112,27 +156,56 @@ def _keep_mask(shape, p: float):
     return bits >= jnp.int32(thresh)
 
 
+def _inkernel_reshape_ok(c: int) -> bool:
+    """Mosaic lowers the (t_cov, c) -> (t_out, pool*c) VALUE reshape only
+    when the source last dim fills the 128-lane vregs; narrower sources
+    (stage 1's C=64) fail to compile and take the host-relayout path."""
+    return c % 128 == 0
+
+
 # ---------------------------------------------------------------------------
-# forward: one pass conv_out -> pooled
+# forward: one pass conv_out -> pooled, full-lane layout
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(seed_ref, conv_ref, sc_ref, sh_ref, o_ref, *,
-                pool: int, t_out: int, p: float):
+def _load_fl(conv_ref, *, pool, t_out, c, ik):
+    """Load the block's covered rows as (bt, t_out, pool*c) fp32."""
     t_cov = t_out * pool
-    _, bt, _, c = conv_ref.shape
-    # body math in fp32 regardless of input dtype: Mosaic cannot lower
-    # packed-bf16 float compares (the pool max -> arith.cmpf "Target does
-    # not support this comparison"), and fp32 VPU math costs nothing extra
-    # here while keeping BN/GELU numerics full-precision
-    y = conv_ref[0, :, :t_cov, :].astype(jnp.float32) * \
-        sc_ref[0, 0][None, None, :].astype(jnp.float32) + \
+    if ik:
+        _, bt, _, _ = conv_ref.shape
+        return conv_ref[0, :, :t_cov, :].astype(jnp.float32).reshape(
+            bt, t_out, pool * c)
+    return conv_ref[0].astype(jnp.float32)  # operand pre-reshaped on host
+
+
+def _fwd_kernel(seed_ref, conv_ref, sc_ref, sh_ref, o_ref, *,
+                pool: int, t_out: int, c: int, p: float, ik: bool):
+    xv = _load_fl(conv_ref, pool=pool, t_out=t_out, c=c, ik=ik)
+    bt = xv.shape[0]
+    y = xv * sc_ref[0, 0][None, None, :].astype(jnp.float32) + \
         sh_ref[0, 0][None, None, :].astype(jnp.float32)
     a = _gelu(y)
     if p > 0.0:
         pltpu.prng_seed(seed_ref[0, 0, 0] + pl.program_id(1))
-        keep = _keep_mask((bt, t_cov, c), p)
+        keep = _keep_mask((bt, t_out, pool * c), p)
         a = jnp.where(keep, a * (1.0 / (1.0 - p)), 0.0)
-    o_ref[0] = a.reshape(bt, t_out, pool, c).max(axis=2).astype(o_ref.dtype)
+    m = a[:, :, :c]
+    for j in range(1, pool):
+        m = jnp.maximum(m, a[:, :, j * c:(j + 1) * c])
+    o_ref[0] = m.astype(o_ref.dtype)
+
+
+def _conv_spec(t, c, t_out, pc, block_b, ik):
+    if ik:
+        return pl.BlockSpec((1, block_b, t, c), lambda s, i: (s, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, block_b, t_out, pc), lambda s, i: (s, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _host_fl(conv, pool, t_out):
+    """(S, B, T, C) -> (S, B, t_out, pool*C) via one XLA relayout pass."""
+    S, b, _, c = conv.shape
+    return conv[:, :, : t_out * pool, :].reshape(S, b, t_out, pool * c)
 
 
 def _fwd_call(conv, sc, sh, seeds, *, pool, p, block_b, interpret):
@@ -140,18 +213,24 @@ def _fwd_call(conv, sc, sh, seeds, *, pool, p, block_b, interpret):
     (S, C), seeds (S, 8, 128). Grid (S, nb)."""
     S, b, t, c = conv.shape
     t_out = t // pool
+    pc = pool * c
+    ik = _inkernel_reshape_ok(c)
+    if not ik:
+        conv = _host_fl(conv, pool, t_out)
+    sc_t = jnp.tile(sc, (1, pool)).reshape(S, 1, pc)
+    sh_t = jnp.tile(sh, (1, pool)).reshape(S, 1, pc)
     nb = b // block_b
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, pool=pool, t_out=t_out, p=p),
+        functools.partial(_fwd_kernel, pool=pool, t_out=t_out, c=c, p=p,
+                          ik=ik),
         grid=(S, nb),
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_b, t, c), lambda s, i: (s, i, 0, 0),
+            _conv_spec(t, c, t_out, pc, block_b, ik),
+            pl.BlockSpec((1, 1, pc), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda s, i: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda s, i: (s, 0, 0),
+            pl.BlockSpec((1, 1, pc), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_b, t_out, c),
@@ -166,80 +245,95 @@ def _fwd_call(conv, sc, sh, seeds, *, pool, p, block_b, interpret):
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(seeds, conv, sc.reshape(S, 1, c), sh.reshape(S, 1, c))
+    )(seeds, conv, sc_t, sh_t)
 
 
 # ---------------------------------------------------------------------------
-# backward: recompute pass, emit dy + per-block partial channel sums
+# backward: recompute pass (full-lane), emit full-lane dy + per-block
+# partial channel sums
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(seed_ref, conv_ref, dpool_ref, sc_ref, sh_ref,
                 mean_ref, inv_ref, dy_ref, dg_ref, db_ref, *,
-                pool: int, t_out: int, p: float):
-    t_cov = t_out * pool
-    _, bt, t_full, c = conv_ref.shape
-    # fp32 body like the forward (see _fwd_kernel dtype note)
-    cv = conv_ref[0, :, :t_cov, :].astype(jnp.float32)
-    y = cv * sc_ref[0, 0][None, None, :].astype(jnp.float32) + \
+                pool: int, t_out: int, c: int, p: float, ik: bool):
+    xv = _load_fl(conv_ref, pool=pool, t_out=t_out, c=c, ik=ik)
+    bt = xv.shape[0]
+    y = xv * sc_ref[0, 0][None, None, :].astype(jnp.float32) + \
         sh_ref[0, 0][None, None, :].astype(jnp.float32)
     a = _gelu(y)
     if p > 0.0:
         pltpu.prng_seed(seed_ref[0, 0, 0] + pl.program_id(1))
-        keep = _keep_mask((bt, t_cov, c), p)
+        keep = _keep_mask((bt, t_out, pool * c), p)
         d = jnp.where(keep, a * (1.0 / (1.0 - p)), 0.0)
     else:
         d = a
-    dw = d.reshape(bt, t_out, pool, c)
-    mx = dw.max(axis=2, keepdims=True)
-    eq = (dw == mx).astype(jnp.float32)
-    cnt = eq.sum(axis=2, keepdims=True)
+    # windowed max over lane groups + tie counting
+    m = d[:, :, :c]
+    for j in range(1, pool):
+        m = jnp.maximum(m, d[:, :, j * c:(j + 1) * c])
+    cnt = (d[:, :, :c] == m).astype(jnp.float32)
+    for j in range(1, pool):
+        cnt = cnt + (d[:, :, j * c:(j + 1) * c] == m).astype(jnp.float32)
     # lax.reduce_max VJP semantics: gradient split evenly among ties
-    dd = (eq * (dpool_ref[0][:, :, None, :] / cnt)).reshape(bt, t_cov, c)
-    if p > 0.0:
-        da = jnp.where(keep, dd * (1.0 / (1.0 - p)), 0.0)
-    else:
-        da = dd
-    dy = da * _gelu_grad(y)
-    xhat = (cv - mean_ref[0, 0][None, None, :].astype(jnp.float32)) * \
+    g = dpool_ref[0].astype(jnp.float32) / cnt
+    xhat = (xv - mean_ref[0, 0][None, None, :].astype(jnp.float32)) * \
         inv_ref[0, 0][None, None, :].astype(jnp.float32)
-    dy_ref[0, :, :t_cov, :] = dy.astype(dy_ref.dtype)
-    if t_cov < t_full:
-        dy_ref[0, :, t_cov:, :] = jnp.zeros(
-            (bt, t_full - t_cov, c), dy_ref.dtype)
+    dg_acc = None
+    db_acc = None
+    for j in range(pool):
+        sl = slice(j * c, (j + 1) * c)
+        dd = (d[:, :, sl] == m).astype(jnp.float32) * g
+        if p > 0.0:
+            da = jnp.where(keep[:, :, sl], dd * (1.0 / (1.0 - p)), 0.0)
+        else:
+            da = dd
+        dy = da * _gelu_grad(y[:, :, sl])
+        dy_ref[0, :, :, sl] = dy.astype(dy_ref.dtype)
+        dg_j = jnp.sum(dy * xhat[:, :, sl], axis=(0, 1))
+        db_j = jnp.sum(dy, axis=(0, 1))
+        dg_acc = dg_j if dg_acc is None else dg_acc + dg_j
+        db_acc = db_j if db_acc is None else db_acc + db_j
     # partial channel sums in row 0 of an (8, c) tile (Mosaic tiling
     # wants full last-two-dim blocks); rows 1..7 zeroed, XLA sums all
     zeros7 = jnp.zeros((7, c), jnp.float32)
     dg_ref[0, 0] = jnp.concatenate(
-        [jnp.sum(dy * xhat, axis=(0, 1))[None], zeros7], axis=0
-    ).astype(dg_ref.dtype)
+        [dg_acc[None], zeros7], axis=0).astype(dg_ref.dtype)
     db_ref[0, 0] = jnp.concatenate(
-        [jnp.sum(dy, axis=(0, 1))[None], zeros7], axis=0
-    ).astype(db_ref.dtype)
+        [db_acc[None], zeros7], axis=0).astype(db_ref.dtype)
 
 
 def _bwd_call(conv, dpool, sc, sh, mean, inv, seeds, *,
               pool, p, block_b, interpret):
-    """Batched like :func:`_fwd_call`; returns (dy (S,B,T,C) f32,
-    dgamma/dbeta per-block partials (S, nb, 8, C))."""
+    """Batched like :func:`_fwd_call`; returns (dy full-lane
+    (S, B, t_out, pool*C) f32, dgamma/dbeta per-block partials
+    (S, nb, 8, C))."""
     S, b, t, c = conv.shape
     t_out = t // pool
+    pc = pool * c
+    ik = _inkernel_reshape_ok(c)
+    if not ik:
+        conv = _host_fl(conv, pool, t_out)
+    sc_t = jnp.tile(sc, (1, pool)).reshape(S, 1, pc)
+    sh_t = jnp.tile(sh, (1, pool)).reshape(S, 1, pc)
+    mean_t = jnp.tile(mean, (1, pool)).reshape(S, 1, pc)
+    inv_t = jnp.tile(inv, (1, pool)).reshape(S, 1, pc)
     nb = b // block_b
-    cspec = pl.BlockSpec((1, 1, c), lambda s, i: (s, 0, 0),
+    cspec = pl.BlockSpec((1, 1, pc), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, pool=pool, t_out=t_out, p=p),
+        functools.partial(_bwd_kernel, pool=pool, t_out=t_out, c=c, p=p,
+                          ik=ik),
         grid=(S, nb),
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_b, t, c), lambda s, i: (s, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _conv_spec(t, c, t_out, pc, block_b, ik),
             pl.BlockSpec((1, block_b, t_out, c), lambda s, i: (s, i, 0, 0),
                          memory_space=pltpu.VMEM),
             cspec, cspec, cspec, cspec,
         ],
         out_specs=[
-            pl.BlockSpec((1, block_b, t, c), lambda s, i: (s, i, 0, 0),
+            pl.BlockSpec((1, block_b, t_out, pc), lambda s, i: (s, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, c), lambda s, i: (s, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -247,7 +341,7 @@ def _bwd_call(conv, dpool, sc, sh, mean, inv, seeds, *,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, b, t, c), jnp.float32),
+            jax.ShapeDtypeStruct((S, b, t_out, pc), jnp.float32),
             jax.ShapeDtypeStruct((S, nb, 8, c), jnp.float32),
             jax.ShapeDtypeStruct((S, nb, 8, c), jnp.float32),
         ],
@@ -256,8 +350,7 @@ def _bwd_call(conv, dpool, sc, sh, mean, inv, seeds, *,
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(seeds, conv, dpool, sc.reshape(S, 1, c), sh.reshape(S, 1, c),
-      mean.reshape(S, 1, c), inv.reshape(S, 1, c))
+    )(seeds, conv, dpool, sc_t, sh_t, mean_t, inv_t)
 
 
 # ---------------------------------------------------------------------------
@@ -333,11 +426,18 @@ def _fst_bwd(p, pool, eps, interpret, res, dpool):
     inv = jax.lax.rsqrt(var + eps)
     sc = gamma * inv
     sh = beta - mean * sc
-    dy, dgp, dbp = _make_vm(p, pool, interpret)[1](
+    dyfl, dgp, dbp = _make_vm(p, pool, interpret)[1](
         conv, dpool.astype(jnp.float32), sc, sh, mean, inv, seeds)
     dgamma = dgp.sum(axis=(0, 1))
     dbeta = dbp.sum(axis=(0, 1))
-    n = conv.shape[0] * conv.shape[1]
+    b, t, c = conv.shape
+    t_cov = (t // pool) * pool
+    # full-lane dy back to row-major; XLA fuses this reshape (and the
+    # tail-row zero pad) into the elementwise combine below
+    dy = dyfl.reshape(b, t_cov, c)
+    if t_cov < t:
+        dy = jnp.pad(dy, ((0, 0), (0, t - t_cov), (0, 0)))
+    n = b * t
     xhat = (conv.astype(jnp.float32) - mean) * inv
     # complete fused-BN input gradient (stats-dependence folded in)
     dconv = (inv * gamma) * (dy - dbeta / n - xhat * (dgamma / n))
@@ -353,9 +453,14 @@ def _fst_bwd(p, pool, eps, interpret, res, dpool):
 fused_stage_train.defvjp(_fst_fwd, _fst_bwd)
 
 
-def supported_shape(b: int, c: int) -> bool:
-    """Batch must tile into the block size; channels must fill lanes."""
-    return b % _BLOCK_B == 0 and c % 64 == 0
+def supported_shape(b: int, c: int, pool: int = None) -> bool:
+    """Batch must tile into the block size; channels must fill lanes
+    (and, in the full-lane layout, the folded ``pool*c`` lane width must
+    be a multiple of the 128-lane vreg)."""
+    ok = b % _BLOCK_B == 0 and c % 64 == 0
+    if pool is not None:
+        ok = ok and (pool * c) % 128 == 0
+    return ok
 
 
 def make_seeds(key, b: int) -> jnp.ndarray:

@@ -123,7 +123,7 @@ class EEGMultiScaleNet(nn.Module):
             and not self.is_initializing()
             and cst.dispatch_enabled()
             and jax.default_backend() == "tpu"
-            and cst.supported_shape(h.shape[0], h.shape[-1])
+            and cst.supported_shape(h.shape[0], h.shape[-1], pool)
             # fp32 only: in bf16 the kernel's fp32 body loses to XLA's
             # native-bf16 stem tail — hardware A/B 2026-08-17
             # (scripts/ab_bf16_fused.py): bf16 vloso 35.5k samples/s fused

@@ -205,6 +205,48 @@ def main():
             (" f+b" if backward else " fwd")
         print(f"{tag:14s}: {ms:7.3f} ms/step", flush=True)
 
+    # ---- conv-only / conv+stats: attribute the fused-stem forward ---------
+    def conv_parts(backward, with_stats):
+        """Both conv stages alone (pooling replaced by a strided slice so
+        stage-2 sees the right length; a slice is ~free next to the convs)
+        and optionally the BN batch-stat reductions — isolates how much of
+        the fused-stem time is XLA's convs vs stats vs the Pallas pass."""
+        params = {
+            "w1": mk(64, 32, 15), "b1": mk(64),
+            "w2": mk(256, 64, 5), "b2": mk(256),
+        }
+        params = jax.tree.map(
+            lambda v: jnp.broadcast_to(v, (S,) + v.shape), params)
+
+        def net(pr, x):
+            h = conv1d(x, pr["w1"], pr["b1"], padding=7)
+            if with_stats:
+                m1 = h.mean((0, 1))
+                v1 = (h * h).mean((0, 1)) - m1 ** 2
+            h = h[:, ::4]
+            h = conv1d(h, pr["w2"], pr["b2"], padding=2)
+            if with_stats:
+                m2 = h.mean((0, 1))
+                v2 = (h * h).mean((0, 1)) - m2 ** 2
+            h = h[:, ::2]
+            out = (h.astype(jnp.float32) ** 2).sum()
+            if with_stats:
+                out = out + (m1.sum() + v1.sum() + m2.sum() + v2.sum())
+            return out
+
+        def one(pr, x):
+            if backward:
+                g = jax.grad(net)(pr, x)
+                return jax.tree.map(lambda a, b: a + 1e-12 * b, pr, g)
+            return jax.tree.map(lambda a: a + 1e-12 * net(pr, x), pr)
+
+        step = jax.vmap(one)
+        run = chain(step)
+        ms = timed(run, lambda i: (params, x_stem + i * 1e-6))
+        tag = ("conv+stats" if with_stats else "conv-only") + \
+            (" f+b" if backward else " fwd")
+        print(f"{tag:14s}: {ms:7.3f} ms/step", flush=True)
+
     # ---- fused stem (the production fused composition) --------------------
     def stem_fused(backward, p=0.4, check_parity=False):
         from multimodal_sentiment_aanalysis_tpu.kernels import (
@@ -282,6 +324,10 @@ def main():
          lambda: stem_variant("stem-nodrop", True, False, True)),
         ("stem-nobn f+b",
          lambda: stem_variant("stem-nobn", False, True, True)),
+        ("conv-only fwd", lambda: conv_parts(False, False)),
+        ("conv-only f+b", lambda: conv_parts(True, False)),
+        ("conv+stats fwd", lambda: conv_parts(False, True)),
+        ("conv+stats f+b", lambda: conv_parts(True, True)),
         ("fused fwd", lambda: stem_fused(False)),
         ("fused f+b", lambda: stem_fused(True)),
         ("fused-parity", lambda: stem_fused(False, p=0.0, check_parity=True)),
