@@ -98,16 +98,16 @@ closer to XLA's stored-activation backward.) For context the whole fp32
 train step was 51.7 ms before this kernel: the stem tail was over a
 quarter of the step.
 
-**bf16 negative (measured — dispatch is fp32-only).** With bf16 compute
-the kernel body must upcast to fp32 (Mosaic cannot lower packed-bf16
-float compares in the pool max), which forfeits both the VPU's 2x bf16
-rate and half the recompute traffic; XLA's native-bf16 stem tail wins.
-End-to-end A/B on v5e (``scripts/ab_bf16_fused.py``, fused 20-epoch
-vloso program, 2026-08-17): bf16 all-fused 35.5k samples/s vs 37.1k
-with the stem kernel off (fused InfoNCE on/off is noise-level: 35.5k
-both). ``EEGMultiScaleNet._stage`` therefore dispatches here only for
-fp32 activations; the bf16 kernel path stays functional (and tested)
-for forced-dispatch use.
+**bf16 history (both verdicts measured).** The kernel body always runs
+fp32 internally (Mosaic cannot lower packed-bf16 float compares in the
+pool max), which forfeits the VPU's 2x bf16 rate — and with the v1
+row-major layout that made the kernel a NET LOSS in bf16 (end-to-end
+A/B ``scripts/ab_bf16_fused.py``, fused 20-epoch vloso program: v1
+all-fused 35.5k samples/s vs 37.1k with the stem kernel off), so v1
+dispatch was fp32-only. The v2 full-lane layout flipped the verdict:
+same A/B 2026-08-17 gives all-fused **39.8k** vs no-stem 37.0k
+(+7.6%), so bf16 dispatch is now on by default
+(``enable_bf16_dispatch`` / ``MSA_FUSED_STEM_BF16=0`` reverts).
 """
 
 from __future__ import annotations
@@ -137,6 +137,24 @@ def enable_dispatch(on: bool) -> bool:
 
 def dispatch_enabled() -> bool:
     return _DISPATCH
+
+
+# bf16 dispatch: ON by default since the v2 full-lane layout (hardware
+# A/B 2026-08-17: bf16 vloso 39.8k samples/s fused vs 37.0k jnp — the v1
+# row-major kernel had LOST this A/B 35.5k vs 37.1k);
+# MSA_FUSED_STEM_BF16=0 or enable_bf16_dispatch(False) reverts.
+_BF16_DISPATCH = os.environ.get("MSA_FUSED_STEM_BF16", "1") != "0"
+
+
+def enable_bf16_dispatch(on: bool) -> bool:
+    global _BF16_DISPATCH
+    old = _BF16_DISPATCH
+    _BF16_DISPATCH = bool(on)
+    return old
+
+
+def bf16_dispatch_enabled() -> bool:
+    return _BF16_DISPATCH
 
 
 def _gelu(y):

@@ -124,12 +124,13 @@ class EEGMultiScaleNet(nn.Module):
             and cst.dispatch_enabled()
             and jax.default_backend() == "tpu"
             and cst.supported_shape(h.shape[0], h.shape[-1], pool)
-            # fp32 only: in bf16 the kernel's fp32 body loses to XLA's
-            # native-bf16 stem tail — hardware A/B 2026-08-17
-            # (scripts/ab_bf16_fused.py): bf16 vloso 35.5k samples/s fused
-            # vs 37.1k jnp, while fp32 gains 1.27x. See the "bf16 negative"
-            # note in kernels/conv_stem_train.py.
-            and h.dtype == jnp.float32
+            # bf16 dispatch flipped per kernel version: the v1 row-major
+            # kernel LOST the bf16 A/B (35.5k vs 37.1k samples/s), the v2
+            # full-lane kernel WINS it (39.8k vs 37.0k, 2026-08-17,
+            # scripts/ab_bf16_fused.py) — see the "bf16 history" note in
+            # kernels/conv_stem_train.py; bf16_dispatch_enabled() is the
+            # kill switch.
+            and (h.dtype == jnp.float32 or cst.bf16_dispatch_enabled())
         )
         if use_fused:
             if p > 0.0:
