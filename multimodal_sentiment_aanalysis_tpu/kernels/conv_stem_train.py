@@ -50,6 +50,19 @@ win, see the A/B table below — but is still a net gain). The backward
 emits dy in full-lane layout; the caller's reshape back is fused by XLA
 into the BN input-gradient combine.
 
+**Conv-formulation negative (measured — keep lax.conv).** Because the
+production step vmaps the stem over S=24 per-model weights, the conv
+lowers through lax.conv's batched-rhs rule; the suspicion that this
+grouped-conv form was slow (and that shifted-tap batched ``dot_general``
+formulations, or taps emitting the full-lane layout directly, would
+beat it) was A/B'd on v5e (``scripts/bench_conv_vmapped.py``,
+2026-08-17, chained + scalar-sync): XLA's conv wins every case by
+3-30x (fp32 f+bwd conv1: xla 4.32 ms, tap-matmul 40.7, tap-fl 138;
+conv2: xla 2.20, tap-matmul 10.5). The same run showed the stage-1
+host relayout is FREE in composition (xla-conv+fl 4.27 ms ≈ xla-conv
+alone) — XLA fuses it into the conv output write, so the relayout
+cost estimated below materializes only when the pass cannot fuse.
+
 **Input-fusion negative (measured — do NOT enable).** Fusing the
 stage-1 relayout into the kernel's operand DMA via
 ``CompilerParams(allow_input_fusion=...)`` looked like the obvious way

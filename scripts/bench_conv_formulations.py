@@ -1,5 +1,13 @@
 """A/B conv1d formulations at the training stem shapes (TPU).
 
+.. warning:: superseded by ``bench_conv_vmapped.py``. This script predates
+   two hard-won timing lessons (CLAUDE.md): its chained state update
+   ``c + 1e-12*sum`` UNDERFLOWS in fp32 (identical repeat executions get
+   memoized by the tunnel) and ``jax.block_until_ready`` is not a reliable
+   barrier here. It also times the folded-batch SHARED-weight case, while
+   the production step vmaps over per-model weights (a different XLA
+   lowering for conv). Use bench_conv_vmapped.py for decisions.
+
 The step ablation puts the conv stem at ~12 ms fwd+bwd of the 60 ms fp32
 vmapped step, with XLA's conv_general_dilated at ~22% of fp32 matmul
 peak. Candidates:
