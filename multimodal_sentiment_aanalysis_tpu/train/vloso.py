@@ -46,7 +46,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.pipeline import DeviceDataset, epoch_plan_on_device
 from ..data.splits import loso_split
 from ..ops.losses import masked_accuracy, masked_cross_entropy
-from .state import cast_floating, clip_by_global_norm, strong_typed
+from .state import (
+    adamw_lowp,
+    cast_floating,
+    clip_by_global_norm,
+    strong_typed,
+)
 
 
 class VectorizedLOSOTrainer:
@@ -70,11 +75,16 @@ class VectorizedLOSOTrainer:
         clip_norm: float = 1.0,
         seed: int = 42,
         compute_dtype: str | None = None,
+        moment_dtype: str | None = None,
         mesh: Mesh | None = None,
     ):
         # compute_dtype='bfloat16' runs forward/backward in bf16 at native
         # MXU rate while AdamW keeps float32 master params; losses and
         # BatchNorm running stats are carried in float32 regardless.
+        # moment_dtype='bfloat16' additionally stores the Adam moments
+        # low-precision (:func:`.state.adamw_lowp`) — the optimizer update
+        # is HBM-roofline-bound, so halving the m/v traffic is the one
+        # lever left there; keep it None for the fp32 parity config.
         self.model = model
         self.data = data
         self.n_subjects = n_subjects
@@ -133,7 +143,13 @@ class VectorizedLOSOTrainer:
             },
         }
 
-        self.tx = optax.adamw(lr, weight_decay=weight_decay)
+        if moment_dtype is None:
+            self.tx = optax.adamw(lr, weight_decay=weight_decay)
+        else:
+            self.tx = adamw_lowp(
+                lr, weight_decay=weight_decay,
+                moment_dtype=jnp.dtype(moment_dtype),
+            )
         self.opt_state = strong_typed(jax.vmap(self.tx.init)(self.params))
         # XLA RngBitGenerator keys for the dropout masks: same mask
         # distribution as the default threefry at roughly half the

@@ -549,3 +549,91 @@ class TestCheckpointResume:
         res = tester.run(model_path=str(tmp_path / "best_model.msgpack"),
                          verbose=False, plot_dir=str(tmp_path))
         assert 0.0 <= res["arousal"]["accuracy"] <= 1.0
+
+
+class TestAdamWLowp:
+    """Low-precision-moment AdamW (train.state.adamw_lowp)."""
+
+    def _tree(self, rng):
+        return {
+            "w": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),
+        }
+
+    def test_fp32_moments_match_optax_adamw(self, rng):
+        import optax
+
+        from multimodal_sentiment_aanalysis_tpu.train.state import adamw_lowp
+
+        params = self._tree(rng)
+        ref = optax.adamw(1e-3, weight_decay=0.01)
+        lowp = adamw_lowp(1e-3, weight_decay=0.01, moment_dtype=jnp.float32)
+        s_ref, s_lowp = ref.init(params), lowp.init(params)
+        p_ref = p_lowp = params
+        for i in range(5):
+            g = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape).astype(np.float32)),
+                params,
+            )
+            u_ref, s_ref = ref.update(g, s_ref, p_ref)
+            u_lowp, s_lowp = lowp.update(g, s_lowp, p_lowp)
+            for a, b in zip(jax.tree.leaves(u_ref), jax.tree.leaves(u_lowp)):
+                np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_lowp = optax.apply_updates(p_lowp, u_lowp)
+
+    def test_bf16_moments_dtype_and_proximity(self, rng):
+        import optax
+
+        from multimodal_sentiment_aanalysis_tpu.train.state import adamw_lowp
+
+        params = self._tree(rng)
+        ref = optax.adamw(1e-3, weight_decay=0.01)
+        lowp = adamw_lowp(1e-3, weight_decay=0.01, moment_dtype=jnp.bfloat16)
+        s_ref, s_lowp = ref.init(params), lowp.init(params)
+        # moments stored bf16 -> half the optimizer-state bytes
+        for leaf in jax.tree.leaves((s_lowp[0].mu, s_lowp[0].nu)):
+            assert leaf.dtype == jnp.bfloat16
+        p_ref = p_lowp = params
+        for i in range(10):
+            g = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape).astype(np.float32)),
+                params,
+            )
+            u_ref, s_ref = ref.update(g, s_ref, p_ref)
+            u_lowp, s_lowp = lowp.update(g, s_lowp, p_lowp)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_lowp = optax.apply_updates(p_lowp, u_lowp)
+        # ~8-bit moment mantissa: updates track optax within ~1%
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_lowp)):
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+    def test_vloso_moment_dtype_smoke(self, tiny_model):
+        from multimodal_sentiment_aanalysis_tpu.data import DeviceDataset
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            VectorizedLOSOTrainer,
+        )
+
+        r = np.random.default_rng(0)
+        n_subj, ex = 4, 6
+        n = n_subj * ex
+        arrays = {
+            "eeg": r.normal(size=(n, 32, 64)).astype(np.float32),
+            "eye": r.normal(size=(n, 38)).astype(np.float32),
+            "pps": r.normal(size=(n, 230)).astype(np.float32),
+            "arousal": r.integers(0, 3, n).astype(np.int64),
+            "valence": r.integers(0, 3, n).astype(np.int64),
+        }
+        tr = VectorizedLOSOTrainer(
+            tiny_model, DeviceDataset(arrays), n_subj, ex, batch_size=8,
+            compute_dtype="bfloat16", moment_dtype="bfloat16",
+        )
+        tr.train_epoch()
+        for leaf in jax.tree.leaves((tr.opt_state[0].mu, tr.opt_state[0].nu)):
+            assert leaf.dtype == jnp.bfloat16
+        assert all(
+            bool(jnp.isfinite(x).all())
+            for x in jax.tree.leaves(tr.params)
+        )
