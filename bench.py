@@ -16,7 +16,10 @@ Secondary configs (logged to stderr and carried in the JSON line's
 ``extra`` field):
 
 - ``vloso_bf16``  — the same fused program with bfloat16 compute
-  (float32 master params), the native-MXU-rate path;
+  (float32 master params) and bfloat16 Adam moment storage
+  (``train.state.adamw_lowp``; hardware A/B 2026-08-17
+  ``scripts/ab_moment_dtype.py``: 40.2k vs 39.8k samples/s at identical
+  sanity accuracy), the native-MXU-rate path;
 - ``phased``      — vectorized phased-curriculum throughput: ALL subjects'
   curricula in one vmapped program per phase — the reference's actual
   flagship workload (``dataLoader/MultiTaskTrainer.py:556-673``), subject
@@ -167,7 +170,8 @@ def _train_step_flops(trainer) -> float | None:
     return _flops(lowered)
 
 
-def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None):
+def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None,
+                      moment_dtype=None):
     """Compile the fused E-epoch LOSO program AOT, run one warm-up
     invocation, then time one. Returns (samples/sec, mfu or None)."""
     import jax
@@ -176,7 +180,7 @@ def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None):
 
     trainer = VectorizedLOSOTrainer(
         model_cls(), ds, n_subjects, 20, batch_size=BATCH,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, moment_dtype=moment_dtype,
     )
     fused = trainer._build_fused(TIMED_EPOCHS)
     args = (
@@ -364,7 +368,7 @@ def main() -> None:
     try:
         sps_bf16, mfu_bf16, _ = bench_fused_vloso(
             MultimodalTransformerModel, ds, n_subjects, peak,
-            compute_dtype="bfloat16",
+            compute_dtype="bfloat16", moment_dtype="bfloat16",
         )
         extra["vloso_bf16_samples_per_sec"] = round(sps_bf16, 1)
         if mfu_bf16 is not None:

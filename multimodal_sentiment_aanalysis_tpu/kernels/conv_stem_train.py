@@ -15,12 +15,22 @@ Split of labor (each part where it is strongest):
   erf-GELU + dropout with IN-KERNEL RNG (``pltpu.prng_random_bits``; no
   mask tensor is ever materialized) + windowed max — writing only the
   pooled result.
-- **Pallas backward**: recomputes that pass from the conv output
-  (regenerating the same dropout bits from the same per-block seeds),
-  routes the pool gradient with `lax.reduce_max` VJP semantics
-  (ties split evenly), and emits dy plus per-block partial
-  dgamma/dbeta sums — no stored masks, no stored activations, no
-  select-and-scatter.
+- **Pallas backward (v3, winner-routed)**: the forward additionally
+  emits a packed int32 routing code per pooled cell (winner's pool
+  index + its dropout keep bit); the backward selects the winner's
+  conv value by that code and applies ONE ``gelu_grad`` on the
+  pool-x-smaller winner tensor — no forward recompute, no dropout
+  PRNG regeneration, no max/tie-count — emitting dy plus per-block
+  partial dgamma/dbeta sums. Routing is torch ``MaxPool1d`` semantics
+  (FIRST max wins), which matches the reference exactly; the jnp path
+  (``reshape().max()``, i.e. ``lax.reduce_max`` VJP) splits ties
+  evenly instead — identical on tie-free inputs, which every parity
+  test and real workload is. v3 e2e timing is a measured WASH vs the
+  v2 recompute backward (fused 20-epoch vloso 2026-08-17: fp32
+  32,958 vs 33.0k; bf16 40.1k vs 40.2k samples/s — tunnel noise);
+  kept for the exact-reference routing and the simpler backward
+  contract (standalone: stage2 bwd kernel 4.5 -> 3.9 ms, stage1
+  unchanged, fwd +0.3-0.6 ms for the argmax + win write).
 
 **Full-lane layout (v2).** The kernels view the covered rows
 ``(t_cov, C)`` as ``(t_out, pool*C)`` — the pool window folded into the
@@ -208,7 +218,7 @@ def _load_fl(conv_ref, *, pool, t_out, c, ik):
     return conv_ref[0].astype(jnp.float32)  # operand pre-reshaped on host
 
 
-def _fwd_kernel(seed_ref, conv_ref, sc_ref, sh_ref, o_ref, *,
+def _fwd_kernel(seed_ref, conv_ref, sc_ref, sh_ref, o_ref, win_ref, *,
                 pool: int, t_out: int, c: int, p: float, ik: bool):
     xv = _load_fl(conv_ref, pool=pool, t_out=t_out, c=c, ik=ik)
     bt = xv.shape[0]
@@ -219,10 +229,29 @@ def _fwd_kernel(seed_ref, conv_ref, sc_ref, sh_ref, o_ref, *,
         pltpu.prng_seed(seed_ref[0, 0, 0] + pl.program_id(1))
         keep = _keep_mask((bt, t_out, pool * c), p)
         a = jnp.where(keep, a * (1.0 / (1.0 - p)), 0.0)
+    # max + FIRST-argmax over the pool lane groups (torch MaxPool routing);
+    # the packed code jwin + pool*kept_win is the backward's routing table
+    # (see _bwd_kernel: no forward recompute, no PRNG regen needed there).
     m = a[:, :, :c]
+    win = jnp.zeros((bt, t_out, c), jnp.int32)
+    if p > 0.0:
+        # keep bit carried as int32: Mosaic cannot select i1 VALUES
+        # (arith.trunci i8->i1 fails); i1 select CONDITIONS are fine
+        kw = keep[:, :, :c].astype(jnp.int32)
     for j in range(1, pool):
-        m = jnp.maximum(m, a[:, :, j * c:(j + 1) * c])
+        aj = a[:, :, j * c:(j + 1) * c]
+        upd = aj > m
+        win = jnp.where(upd, jnp.int32(j), win)
+        if p > 0.0:
+            kw = jnp.where(
+                upd, keep[:, :, j * c:(j + 1) * c].astype(jnp.int32), kw)
+        m = jnp.maximum(m, aj)
+    if p > 0.0:
+        win = win + pool * kw
+    else:
+        win = win + pool  # kept bit always set when dropout is off
     o_ref[0] = m.astype(o_ref.dtype)
+    win_ref[0] = win
 
 
 def _conv_spec(t, c, t_out, pc, block_b, ik):
@@ -241,7 +270,9 @@ def _host_fl(conv, pool, t_out):
 
 def _fwd_call(conv, sc, sh, seeds, *, pool, p, block_b, interpret):
     """Batched over a leading model axis S: conv (S, B, T, C), sc/sh
-    (S, C), seeds (S, 8, 128). Grid (S, nb)."""
+    (S, C), seeds (S, 8, 128). Grid (S, nb). Returns (pooled, win) —
+    ``win`` is the packed winner/keep routing code consumed by the
+    backward kernel."""
     S, b, t, c = conv.shape
     t_out = t // pool
     pc = pool * c
@@ -251,6 +282,8 @@ def _fwd_call(conv, sc, sh, seeds, *, pool, p, block_b, interpret):
     sc_t = jnp.tile(sc, (1, pool)).reshape(S, 1, pc)
     sh_t = jnp.tile(sh, (1, pool)).reshape(S, 1, pc)
     nb = b // block_b
+    ospec = pl.BlockSpec((1, block_b, t_out, c), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, pool=pool, t_out=t_out, c=c, p=p,
                           ik=ik),
@@ -264,10 +297,11 @@ def _fwd_call(conv, sc, sh, seeds, *, pool, p, block_b, interpret):
             pl.BlockSpec((1, 1, pc), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_b, t_out, c),
-                               lambda s, i: (s, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, b, t_out, c), conv.dtype),
+        out_specs=[ospec, ospec],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, b, t_out, c), conv.dtype),
+            jax.ShapeDtypeStruct((S, b, t_out, c), jnp.int32),
+        ],
         # the recompute-style body keeps ~a dozen (block_b, t, c) f32
         # intermediates live; the 16 MB default scoped-VMEM cap is too
         # tight at stage-1 shapes (v5e has 128 MB)
@@ -280,60 +314,46 @@ def _fwd_call(conv, sc, sh, seeds, *, pool, p, block_b, interpret):
 
 
 # ---------------------------------------------------------------------------
-# backward: recompute pass (full-lane), emit full-lane dy + per-block
-# partial channel sums
+# backward (v3, winner-routed): no forward recompute — the fwd kernel's
+# packed win code routes the pool gradient, so the only transcendental
+# left is ONE gelu_grad on the (t_out, C) winner tensor (pool-x fewer
+# elements than the v2 recompute backward, which re-ran gelu + dropout
+# PRNG + max + tie-count over the full (t_out, pool*C) block).
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(seed_ref, conv_ref, dpool_ref, sc_ref, sh_ref,
+def _bwd_kernel(conv_ref, dpool_ref, win_ref, sc_ref, sh_ref,
                 mean_ref, inv_ref, dy_ref, dg_ref, db_ref, *,
                 pool: int, t_out: int, c: int, p: float, ik: bool):
     xv = _load_fl(conv_ref, pool=pool, t_out=t_out, c=c, ik=ik)
-    bt = xv.shape[0]
-    y = xv * sc_ref[0, 0][None, None, :].astype(jnp.float32) + \
+    code = win_ref[0]
+    jwin = code & jnp.int32(pool - 1)  # pool is a power of two
+    # winner's pre-activation input, selected across lane groups
+    xw = jnp.where(jwin == 0, xv[:, :, :c], 0.0)
+    for j in range(1, pool):
+        xw = jnp.where(jwin == j, xv[:, :, j * c:(j + 1) * c], xw)
+    y = xw * sc_ref[0, 0][None, None, :].astype(jnp.float32) + \
         sh_ref[0, 0][None, None, :].astype(jnp.float32)
-    a = _gelu(y)
+    g = dpool_ref[0].astype(jnp.float32) * _gelu_grad(y)
     if p > 0.0:
-        pltpu.prng_seed(seed_ref[0, 0, 0] + pl.program_id(1))
-        keep = _keep_mask((bt, t_out, pool * c), p)
-        d = jnp.where(keep, a * (1.0 / (1.0 - p)), 0.0)
-    else:
-        d = a
-    # windowed max over lane groups + tie counting
-    m = d[:, :, :c]
-    for j in range(1, pool):
-        m = jnp.maximum(m, d[:, :, j * c:(j + 1) * c])
-    cnt = (d[:, :, :c] == m).astype(jnp.float32)
-    for j in range(1, pool):
-        cnt = cnt + (d[:, :, j * c:(j + 1) * c] == m).astype(jnp.float32)
-    # lax.reduce_max VJP semantics: gradient split evenly among ties
-    g = dpool_ref[0].astype(jnp.float32) / cnt
-    xhat = (xv - mean_ref[0, 0][None, None, :].astype(jnp.float32)) * \
-        inv_ref[0, 0][None, None, :].astype(jnp.float32)
-    dg_acc = None
-    db_acc = None
+        kept = code >= jnp.int32(pool)
+        g = jnp.where(kept, g * (1.0 / (1.0 - p)), 0.0)
     for j in range(pool):
-        sl = slice(j * c, (j + 1) * c)
-        dd = (d[:, :, sl] == m).astype(jnp.float32) * g
-        if p > 0.0:
-            da = jnp.where(keep[:, :, sl], dd * (1.0 / (1.0 - p)), 0.0)
-        else:
-            da = dd
-        dy = da * _gelu_grad(y[:, :, sl])
-        dy_ref[0, :, :, sl] = dy.astype(dy_ref.dtype)
-        dg_j = jnp.sum(dy * xhat[:, :, sl], axis=(0, 1))
-        db_j = jnp.sum(dy, axis=(0, 1))
-        dg_acc = dg_j if dg_acc is None else dg_acc + dg_j
-        db_acc = db_j if db_acc is None else db_acc + db_j
+        dy_ref[0, :, :, j * c:(j + 1) * c] = \
+            jnp.where(jwin == j, g, 0.0).astype(dy_ref.dtype)
+    xhat = (xw - mean_ref[0, 0][None, None, :].astype(jnp.float32)) * \
+        inv_ref[0, 0][None, None, :].astype(jnp.float32)
     # partial channel sums in row 0 of an (8, c) tile (Mosaic tiling
     # wants full last-two-dim blocks); rows 1..7 zeroed, XLA sums all
     zeros7 = jnp.zeros((7, c), jnp.float32)
     dg_ref[0, 0] = jnp.concatenate(
-        [dg_acc[None], zeros7], axis=0).astype(dg_ref.dtype)
+        [jnp.sum(g * xhat, axis=(0, 1))[None], zeros7], axis=0
+    ).astype(dg_ref.dtype)
     db_ref[0, 0] = jnp.concatenate(
-        [db_acc[None], zeros7], axis=0).astype(db_ref.dtype)
+        [jnp.sum(g, axis=(0, 1))[None], zeros7], axis=0
+    ).astype(db_ref.dtype)
 
 
-def _bwd_call(conv, dpool, sc, sh, mean, inv, seeds, *,
+def _bwd_call(conv, dpool, win, sc, sh, mean, inv, *,
               pool, p, block_b, interpret):
     """Batched like :func:`_fwd_call`; returns (dy full-lane
     (S, B, t_out, pool*C) f32, dgamma/dbeta per-block partials
@@ -344,23 +364,23 @@ def _bwd_call(conv, dpool, sc, sh, mean, inv, seeds, *,
     ik = _inkernel_reshape_ok(c)
     if not ik:
         conv = _host_fl(conv, pool, t_out)
-    sc_t = jnp.tile(sc, (1, pool)).reshape(S, 1, pc)
-    sh_t = jnp.tile(sh, (1, pool)).reshape(S, 1, pc)
-    mean_t = jnp.tile(mean, (1, pool)).reshape(S, 1, pc)
-    inv_t = jnp.tile(inv, (1, pool)).reshape(S, 1, pc)
+    sc_t = sc.reshape(S, 1, c)
+    sh_t = sh.reshape(S, 1, c)
+    mean_t = mean.reshape(S, 1, c)
+    inv_t = inv.reshape(S, 1, c)
     nb = b // block_b
-    cspec = pl.BlockSpec((1, 1, pc), lambda s, i: (s, 0, 0),
+    cspec = pl.BlockSpec((1, 1, c), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, block_b, t_out, c), lambda s, i: (s, i, 0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, pool=pool, t_out=t_out, c=c, p=p,
                           ik=ik),
         grid=(S, nb),
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda s, i: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
             _conv_spec(t, c, t_out, pc, block_b, ik),
-            pl.BlockSpec((1, block_b, t_out, c), lambda s, i: (s, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            bspec,
+            bspec,
             cspec, cspec, cspec, cspec,
         ],
         out_specs=[
@@ -381,7 +401,7 @@ def _bwd_call(conv, dpool, sc, sh, mean, inv, seeds, *,
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(seeds, conv, dpool, sc_t, sh_t, mean_t, inv_t)
+    )(conv, dpool, win, sc_t, sh_t, mean_t, inv_t)
 
 
 # ---------------------------------------------------------------------------
@@ -402,20 +422,21 @@ def _make_vm(p: float, pool: int, interpret: bool):
 
     @jax.custom_batching.custom_vmap
     def vm_fwd(conv, sc, sh, seeds):
-        return _fwd_call(conv[None], sc[None], sh[None], seeds[None],
-                         **kw)[0]
+        out, win = _fwd_call(conv[None], sc[None], sh[None], seeds[None],
+                             **kw)
+        return out[0], win[0]
 
     @vm_fwd.def_vmap
     def _fwd_rule(axis_size, in_batched, conv, sc, sh, seeds):
         args = [v if bb else _bcast(v, axis_size)
                 for v, bb in zip((conv, sc, sh, seeds), in_batched)]
-        return _fwd_call(*args, **kw), True
+        return _fwd_call(*args, **kw), (True, True)
 
     @jax.custom_batching.custom_vmap
-    def vm_bwd(conv, dpool, sc, sh, mean, inv, seeds):
+    def vm_bwd(conv, dpool, win, sc, sh, mean, inv):
         dy, dgp, dbp = _bwd_call(
-            conv[None], dpool[None], sc[None], sh[None], mean[None],
-            inv[None], seeds[None], **kw)
+            conv[None], dpool[None], win[None], sc[None], sh[None],
+            mean[None], inv[None], **kw)
         return dy[0], dgp[0], dbp[0]
 
     @vm_bwd.def_vmap
@@ -443,22 +464,24 @@ def fused_stage_train(conv, gamma, beta, mean, var, seeds,
     inv = jax.lax.rsqrt(var + eps)
     sc = gamma * inv
     sh = beta - mean * sc
-    return _make_vm(p, pool, interpret)[0](conv, sc, sh, seeds)
+    return _make_vm(p, pool, interpret)[0](conv, sc, sh, seeds)[0]
 
 
 def _fst_fwd(conv, gamma, beta, mean, var, seeds, p, pool, eps, interpret):
-    out = fused_stage_train(conv, gamma, beta, mean, var, seeds,
-                            p, pool, eps, interpret)
-    return out, (conv, gamma, beta, mean, var, seeds)
+    inv = jax.lax.rsqrt(var + eps)
+    sc = gamma * inv
+    sh = beta - mean * sc
+    out, win = _make_vm(p, pool, interpret)[0](conv, sc, sh, seeds)
+    return out, (conv, gamma, beta, mean, var, seeds, win)
 
 
 def _fst_bwd(p, pool, eps, interpret, res, dpool):
-    conv, gamma, beta, mean, var, seeds = res
+    conv, gamma, beta, mean, var, seeds, win = res
     inv = jax.lax.rsqrt(var + eps)
     sc = gamma * inv
     sh = beta - mean * sc
     dyfl, dgp, dbp = _make_vm(p, pool, interpret)[1](
-        conv, dpool.astype(jnp.float32), sc, sh, mean, inv, seeds)
+        conv, dpool.astype(jnp.float32), win, sc, sh, mean, inv)
     dgamma = dgp.sum(axis=(0, 1))
     dbeta = dbp.sum(axis=(0, 1))
     b, t, c = conv.shape

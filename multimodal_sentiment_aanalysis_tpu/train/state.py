@@ -118,6 +118,12 @@ def scale_by_adam_lowp(
     v = E[g^2]); the cost is ~8-bit mantissa noise on the update scale,
     acceptable for the bf16 compute config and kept OUT of the fp32
     parity config (reference twin tests pin that one against torch).
+
+    Hardware A/B (v5e, fused 20-epoch vloso, ``scripts/ab_moment_dtype.py``
+    2026-08-17): bf16 compute 39.8k -> 40.2k samples/s (+1.2%, sanity
+    accuracy identical) — wired into the bench bf16 config. fp32 compute
+    is a measured LOSS (33.0k -> 32.2k: the extra converts cost more
+    than the saved traffic there), so the fp32 config keeps optax.adamw.
     """
 
     md = jnp.dtype(moment_dtype)

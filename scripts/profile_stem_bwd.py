@@ -110,13 +110,16 @@ def main():
             sh = beta - mean * sc
             dpool = jnp.asarray(rng.normal(
                 size=(S, B, t // pool, c)).astype(np.float32)).astype(dt)
+            vm_fwd_raw = jax.vmap(cst._make_vm(P_DROP, pool, False)[0])
             vm_bwd = jax.vmap(cst._make_vm(P_DROP, pool, False)[1])
 
             @jax.jit
             def bwd_chain(conv, dpool):
+                win = vm_fwd_raw(conv, sc, sh, seeds)[1]
+
                 def body(cv, _):
                     dy, dgp, dbp = vm_bwd(cv, dpool.astype(jnp.float32),
-                                          sc, sh, mean, inv, seeds)
+                                          win, sc, sh, mean, inv)
                     bump = (dy.astype(jnp.float32).sum() * 1e-6
                             ).astype(cv.dtype)
                     return cv + bump, None
