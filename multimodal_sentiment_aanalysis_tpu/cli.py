@@ -284,6 +284,30 @@ def cmd_simclr(args) -> None:
         projector = ProjectionHead()
         classifier = Classifier()
 
+    if getattr(args, "vectorized", False):
+        from .train import VectorizedSimCLRTrainer
+
+        if args.subjects:
+            print("note: --vectorized trains ALL subjects; --subjects ignored")
+        trainer = VectorizedSimCLRTrainer(
+            encoder, projector, classifier, full, n_subjects, ex_nums,
+            seed=args.seed, verbose=not args.quiet,
+        )
+        out = trainer.run(args.pretrain_epochs, args.finetune_epochs)
+        per = out["per_subject"]
+        print(f"LOSO mean: arousal {out['mean_arousal_acc']:.2%} "
+              f"valence {out['mean_valence_acc']:.2%}")
+        _write_results(args, {
+            "per_subject": {
+                str(s): {"a_acc": float(per["a_acc"][s]),
+                         "v_acc": float(per["v_acc"][s])}
+                for s in range(n_subjects)
+            },
+            "mean_arousal_acc": out["mean_arousal_acc"],
+            "mean_valence_acc": out["mean_valence_acc"],
+        })
+        return
+
     results = {}
     for sid in _subject_range(args, n_subjects):
         tr_idx, te_idx = loso_split(n_subjects, ex_nums, sid)
@@ -530,6 +554,10 @@ def main(argv: list[str] | None = None) -> None:
     _add_common(p)
     p.add_argument("--pretrain-epochs", type=int, default=50)
     p.add_argument("--finetune-epochs", type=int, default=30)
+    p.add_argument("--vectorized", action="store_true",
+                   help="train ALL subjects' pretrain+finetune runs in one "
+                        "vmapped program per epoch "
+                        "(train.vsimclr.VectorizedSimCLRTrainer)")
     p.set_defaults(fn=cmd_simclr)
 
     p = sub.add_parser("single", help="single-stage CE+contrastive trainer")

@@ -5,6 +5,7 @@ from .simclr import contrastive_pretrain, finetune
 from .memhacl import memhacl_pretrain, memhacl_finetune
 from .vloso import VectorizedLOSOTrainer
 from .vphased import VectorizedPhasedTrainer
+from .vsimclr import VectorizedSimCLRTrainer
 
 __all__ = [
     "TrainState",
@@ -19,4 +20,5 @@ __all__ = [
     "memhacl_finetune",
     "VectorizedLOSOTrainer",
     "VectorizedPhasedTrainer",
+    "VectorizedSimCLRTrainer",
 ]

@@ -86,6 +86,17 @@ class TestCLISmoke:
         _check_json(res)
 
     @pytest.mark.slow
+    def test_simclr_vectorized(self, tmp_path):
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "simclr", "--vectorized",
+            "--pretrain-epochs", "1", "--finetune-epochs", "1",
+            "--results-json", str(res),
+        ))
+        payload = _check_json(res, ("mean_arousal_acc", "mean_valence_acc"))
+        assert len(payload["per_subject"]) == 3  # tiny config: 3 subjects
+
+    @pytest.mark.slow
     def test_single(self, tmp_path):
         res = tmp_path / "r.json"
         _run(_tiny(
