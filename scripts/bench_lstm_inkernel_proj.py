@@ -1,0 +1,236 @@
+"""Prototype A/B (TPU): BiLSTM forward with the input projection IN-KERNEL.
+
+bench_lstm_dirmerge.py (2026-08-17) showed the production fused forward
+(kernels/lstm.py, grid (2,T)) is at its xp-streaming bound: the packed
+projection xp (S,T,B,8H) fp32 is 459 MB/layer, ~2x the h+c outputs
+combined, and halving the sequential chain bought nothing. The remaining
+lever it named: stream the 4x-smaller RAW INPUT x (S,T,B,I=256, 115 MB)
+instead and compute the projection inside the kernel — each grid step
+does ONE batched dot of [x_t | h] (S,B,I+H) against the direction's
+stacked [W_ih; W_hh] (S,I+H,4H), replacing both the separate XLA
+projection pass (read x + write xp, +matmul) and the kernel's xp
+streaming.
+
+Two kernel variants (concat may lower poorly in Mosaic):
+- cat1 : one dot of the lane-concatenated [x_t | h]
+- dot2 : two dots (x_t @ W_ih + h @ W_hh) summed
+
+Both sides of the A/B include the projection work (production = XLA
+einsum proj + production kernel; prototype = single kernel), per-iteration
+weight salting (isnan of an output corner) so the tunnel cannot memoize,
+host-transfer sync at every boundary.
+
+RESULT: see the table printed by the run (recorded below once measured).
+
+Usage: python scripts/bench_lstm_inkernel_proj.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
+    _fwd_call, _time_map,
+)
+
+S, B, T, I, H = 24, 64, 73, 256, 128
+G = 4 * H
+N_CHAIN = 30
+
+
+def _sync(tree):
+    np.asarray(jax.tree.leaves(tree)[0]).ravel()[0]
+
+
+def timed(fn, argf, reps=3):
+    _sync(fn(*argf(0)))
+    best = 1e9
+    for i in range(1, reps + 1):
+        a = argf(i)
+        t0 = time.perf_counter()
+        _sync(fn(*a))
+        best = min(best, time.perf_counter() - t0)
+    return best / N_CHAIN * 1e3
+
+
+def _sig(x):
+    return jax.nn.sigmoid(x)
+
+
+def _gate_math(gates, c_prev):
+    i = _sig(gates[..., :H])
+    f = _sig(gates[..., H:2 * H])
+    g = jnp.tanh(gates[..., 2 * H:3 * H])
+    o = _sig(gates[..., 3 * H:])
+    c = f * c_prev + i * g
+    return o * jnp.tanh(c), c
+
+
+def _xproj_kernel_cat1(x_ref, w_ref, hs_ref, cs_ref, h_scr, c_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    z = jnp.concatenate(
+        [x_ref[:, 0].astype(jnp.float32), h_scr[...]], axis=-1)
+    gates = jax.lax.dot_general(
+        z, w_ref[:, 0],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    h, c = _gate_math(gates, c_scr[...])
+    h_scr[...] = h
+    c_scr[...] = c
+    hs_ref[:, 0] = h.astype(hs_ref.dtype)
+    cs_ref[:, 0] = c.astype(cs_ref.dtype)
+
+
+def _xproj_kernel_dot2(x_ref, wih_ref, whh_ref, hs_ref, cs_ref,
+                       h_scr, c_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    gates = jax.lax.dot_general(
+        x_ref[:, 0].astype(jnp.float32), wih_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        h_scr[...], whh_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+    h, c = _gate_math(gates, c_scr[...])
+    h_scr[...] = h
+    c_scr[...] = c
+    hs_ref[:, 0] = h.astype(hs_ref.dtype)
+    cs_ref[:, 0] = c.astype(cs_ref.dtype)
+
+
+def _common(x):
+    xmap = lambda d, t: (0, _time_map(d, t, T), 0, 0)
+    omap = lambda d, t: (0, _time_map(d, t, T), 0, d)
+    out_specs = [
+        pl.BlockSpec((S, 1, B, H), omap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, 1, B, H), omap, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((S, T, B, 2 * H), x.dtype),
+        jax.ShapeDtypeStruct((S, T, B, 2 * H), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((S, B, H), jnp.float32),
+        pltpu.VMEM((S, B, H), jnp.float32),
+    ]
+    cp = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 2**20,
+        dimension_semantics=("arbitrary", "arbitrary"),
+    )
+    return xmap, out_specs, out_shape, scratch, cp
+
+
+def xproj_call_cat1(x, w_cat, interpret=False):
+    """x (S,T,B,I) actual time; w_cat (S,2,I+H,4H) per-direction stacked
+    [W_ih; W_hh]. Returns packed (h_seq, c_seq) as the production kernel."""
+    xmap, out_specs, out_shape, scratch, cp = _common(x)
+    return pl.pallas_call(
+        _xproj_kernel_cat1,
+        grid=(2, T),
+        in_specs=[
+            pl.BlockSpec((S, 1, B, I), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, I + H, G), lambda d, t: (0, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs, out_shape=out_shape, scratch_shapes=scratch,
+        compiler_params=cp, interpret=interpret,
+    )(x, w_cat)
+
+
+def xproj_call_dot2(x, w_ih, w_hh, interpret=False):
+    """x (S,T,B,I); w_ih (S,2,I,4H); w_hh (S,2,H,4H)."""
+    xmap, out_specs, out_shape, scratch, cp = _common(x)
+    return pl.pallas_call(
+        _xproj_kernel_dot2,
+        grid=(2, T),
+        in_specs=[
+            pl.BlockSpec((S, 1, B, I), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, I, G), lambda d, t: (0, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, H, G), lambda d, t: (0, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs, out_shape=out_shape, scratch_shapes=scratch,
+        compiler_params=cp, interpret=interpret,
+    )(x, w_ih, w_hh)
+
+
+def chain(call):
+    """Salt the (first) weight per iteration by isnan(output corner)."""
+
+    @jax.jit
+    def run(x, *ws):
+        def body(w0, _):
+            out = call(x, w0, *ws[1:])
+            s = out[0][:, 0, 0, :].sum()
+            return w0 + jnp.isnan(s).astype(w0.dtype), s
+
+        _, ss = jax.lax.scan(body, ws[0], None, length=N_CHAIN)
+        return ss
+
+    return run
+
+
+def main():
+    dev = jax.devices()[0]
+    print("device:", dev.platform, dev.device_kind, flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((0.5 * rng.normal(size=(S, T, B, I))).astype(np.float32))
+    w_ih = jnp.asarray(
+        (0.05 * rng.normal(size=(S, 2, I, G))).astype(np.float32))
+    w_hh = jnp.asarray(
+        (0.05 * rng.normal(size=(S, 2, H, G))).astype(np.float32))
+    w_cat = jnp.concatenate([w_ih, w_hh], axis=2)  # (S,2,I+H,G)
+
+    def production(x, w_ih, w_hh):
+        # packed projection exactly as fused_bilstm_layer builds it:
+        # one einsum over the direction-concatenated weights
+        wf = jnp.concatenate([w_ih[:, 0], w_ih[:, 1]], axis=-1)  # (S,I,8H)
+        xp = jnp.einsum("stbi,sig->stbg", x, wf)
+        return _fwd_call(xp, w_hh, False)
+
+    # parity
+    hp, cp_ = production(x, w_ih, w_hh)
+    h1, c1 = xproj_call_cat1(x, w_cat)
+    h2, c2 = xproj_call_dot2(x, w_ih, w_hh)
+    scale = float(jnp.max(jnp.abs(hp))) + 1e-9
+    for tag, hh in (("cat1", h1), ("dot2", h2)):
+        rel = float(jnp.max(jnp.abs(hh - hp))) / scale
+        print(f"{tag}-vs-production rel err: {rel:.2e}", flush=True)
+
+    ms = timed(chain(lambda xx, wi, wh: production(xx, wi, wh)[0]),
+               lambda i: (x + i * 1e-6, w_ih, w_hh))
+    print(f"production (XLA proj + kernel) : {ms:7.3f} ms", flush=True)
+
+    ms = timed(chain(lambda xx, wc: xproj_call_cat1(xx, wc)[0]),
+               lambda i: (x + i * 1e-6, w_cat))
+    print(f"in-kernel proj, cat1           : {ms:7.3f} ms", flush=True)
+
+    ms = timed(chain(lambda xx, wi, wh: xproj_call_dot2(xx, wi, wh)[0]),
+               lambda i: (x + i * 1e-6, w_ih, w_hh))
+    print(f"in-kernel proj, dot2           : {ms:7.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
