@@ -28,12 +28,18 @@ step and the hidden sequence streamed out. Two structural tricks:
   loop (the MXU dependency chain is identical) but Mosaic compiles it
   ~120x faster (3.7 s vs 451 s cold at the flagship shape).
 
-Scope: only the recurrence is in-kernel. The big input projection
-``x @ W_ih^T`` (MXU-friendly at full (B*T, I) width) and the weight/input
-gradients (large batched matmuls) stay in XLA, which already runs them at
-MXU rate. The backward kernel walks time in reverse, recomputing the gates
-from ``xp + h_prev`` (one extra dot beats storing 4H-wide activations) and
-emits per-step gate gradients; ``dW_hh``/``dx`` reduce from those in XLA.
+Scope (v6): the recurrence AND the input projection are in-kernel — the
+kernel streams the raw (T, B, I) input and each grid step adds one
+batched ``x_t @ W_ih`` dot to the recurrent dot, so the (T, B, 8H)
+projection tensor (4x the input at the flagship I=2H) never exists. The
+weight/input gradients (large batched matmuls over T*B-wide operands)
+stay in XLA, which runs them at MXU rate: the backward kernel walks time
+in reverse, recomputing the gates from ``x_t + h_prev`` (two dots beat
+storing 4H-wide activations) and emits per-step gate gradients;
+``dW_ih``/``dW_hh``/``dx``/``db`` reduce from those in XLA. Inputs whose
+width is not lane-aligned (I % 128 != 0) take the v5 two-pass form (one
+hoisted XLA projection matmul + an xp-streaming kernel), as does
+``MSA_LSTM_XPROJ=0``.
 
 Numerics: matmuls take ``preferred_element_type=float32``; ``h``/``c``
 accumulate in float32 even in bf16 compute mode (tighter than the jnp bf16
@@ -43,7 +49,8 @@ CPU); dispatch (``ops/rnn.py``) sends non-TPU backends and unaligned
 shapes to the jnp path.
 
 A/B hardware timing, TPU v5e, real vmapped shape (S=24, B=64, T=73, I=256,
-H=128, 2 layers, chained-scan timing, ``scripts/bench_lstm_kernel.py``):
+H=128, 2 layers, chained-scan timing, ``scripts/bench_lstm_kernel.py``;
+v5-era numbers — the fused column is the xp-streaming form):
 
 ===========  ==========  ============  =======
 config       jnp (XLA)   fused kernel  speedup
@@ -53,6 +60,25 @@ fp32 f+bwd     25.17 ms    10.75 ms      2.34x
 bf16 fwd        7.09 ms     3.06 ms      2.32x
 bf16 f+bwd     15.46 ms     7.77 ms      1.99x
 ===========  ==========  ============  =======
+
+v5-vs-v6 at the same shape (``scripts/bench_lstm_xproj_e2e.py``,
+host-sync chained timing, grads to x and all weights, 2026-08-17):
+
+===========  ==========  ===========  =======
+config       v5 (xp)     v6 (xproj)   speedup
+===========  ==========  ===========  =======
+fp32 fwd       4.78 ms      2.56 ms    1.86x
+fp32 f+bwd    15.74 ms     13.59 ms    1.16x
+bf16 fwd       3.16 ms      2.16 ms    1.46x
+bf16 f+bwd    12.58 ms     11.69 ms    1.08x
+===========  ==========  ===========  =======
+
+In situ the standalone 2.2 ms fp32 gain compresses to ~0.5 ms/step
+(paired ``profile_step --only=full``: 42.42 vs 42.87 ms with
+``MSA_LSTM_XPROJ=0``; bench.py headline 33.0k -> 33.5k samples/s fp32,
+40.2k -> 40.4k bf16, 2026-08-18) — the surrounding schedule absorbs
+part of the win, but it is consistently positive and the projection
+tensor's 459 MB/layer of HBM traffic is simply gone.
 
 Revision history of the fused path (each step A/B'd on hardware):
 v2 kept S in the Pallas grid — 3504 sequential grid steps, 18.4 ms fp32
@@ -66,8 +92,16 @@ matmul, 4-8x less transpose traffic) — 10.75 ms fp32 f+bwd. v5 packed
 c_seq into the same 4-D lane-blocked layout as h_seq (dropping the 5-D
 (S,2,T,B,H) spec — one layout family for both outputs; part of the
 fault bisection below) at identical runtime (10.76 ms fp32 f+bwd,
-re-measured). Remaining gap to roofline is the serial per-step dot
-chain itself (146 dots of (64,128)@(128,512) at half-tile M occupancy).
+re-measured). A direction-merged grid-(T,) variant (one batch-2S dot
+per step, halving the sequential chain) measured a ~2% wash
+(``scripts/bench_lstm_dirmerge.py``) — the forward was at its
+xp-STREAMING bound, not chain-latency-bound — which motivated v6:
+the input projection moved IN-KERNEL (stream raw x, 4x smaller than
+xp; one extra batched dot per step; projection tensor never
+materialized), 1.86x the v5 forward / 1.16x f+bwd fp32 (tables
+below). Remaining gap to roofline is the serial per-step dot chain
+(146 dots at half-tile M occupancy) and the backward's unchanged
+XLA reductions.
 
 Known issue (characterized, root cause external): one artificial
 profiling composition faults at runtime on the tunnel ("UNAVAILABLE:
@@ -110,12 +144,18 @@ it: the ``MSA_FUSED_LSTM=0`` env kill switch, or
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# v6 (in-kernel input projection) kill switch: MSA_LSTM_XPROJ=0 reverts
+# fused_bilstm_layer to the v5 two-pass form (XLA projection + xp-streaming
+# kernel) without touching code.
+_XPROJ_ENABLED = os.environ.get("MSA_LSTM_XPROJ", "1") != "0"
 
 
 def _sigmoid(x):
@@ -327,6 +367,213 @@ def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
 
 
 # ---------------------------------------------------------------------------
+# v6: in-kernel input projection — stream the RAW input x instead of the
+# precomputed projections
+# ---------------------------------------------------------------------------
+#
+# The v5 form streams the packed projection xp (S,T,B,8H): 4x the raw
+# input x (S,T,B,I at the flagship I=256=2H). bench_lstm_dirmerge.py
+# showed the forward kernel sits at its xp-streaming bound, so v6 moves
+# the projection INSIDE the kernel: each grid step adds one batched
+# x_t @ W_ih dot to the recurrent dot and the (B,T,8H) projection tensor
+# is never materialized at all — the XLA projection pass (read x, write
+# xp) and the kernel's xp streaming both disappear. Hardware A/B
+# (scripts/bench_lstm_inkernel_proj.py, v5e 2026-08-17, single layer fwd
+# chained + host-sync): production (XLA proj + v5 kernel) 2.920 ms,
+# in-kernel two-dot form 1.745 ms — 1.67x. The backward recomputes the
+# gates from x the same way (streams x, 4x smaller than xp) and still
+# emits packed per-step gate gradients; the big dW_ih/dW_hh/dx/db
+# reductions stay in XLA where they run at MXU rate on (T*B)-wide
+# operands. Requires the input width I to be lane-aligned (%128); the
+# flagship hits this in both layers (layer 1 I=256, layer 2 I=2H=256) —
+# unaligned widths fall back to the v5 path.
+
+
+def _fwd_xproj_kernel(x_ref, wih_ref, whh_ref, b_ref, hs_ref, cs_ref,
+                      h_scr, c_scr):
+    """Grid (2, T), time innermost, model axis S in the block. Blocks:
+    x (S,1,B,I) at the direction's actual-time index; wih (S,1,I,4H);
+    whh (S,1,H,4H); b (S,1,1,4H); h_seq/c_seq out (S,1,B,H) into packed
+    (T,B,2H) lane-blocked layouts (as v5)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    # two batched dots (the lane-concatenated single-dot form measured 7%
+    # slower and needs a materialized [W_ih; W_hh] concat); x stays in its
+    # native dtype so bf16 inputs hit the MXU at bf16 rate, accumulating
+    # fp32 via preferred_element_type.
+    gates = jax.lax.dot_general(
+        x_ref[:, 0], wih_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        h_scr[...], whh_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + b_ref[:, 0].astype(jnp.float32)
+
+    hidden = h_scr.shape[-1]
+    i = _sigmoid(gates[..., :hidden])
+    f = _sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = _sigmoid(gates[..., 3 * hidden:])
+    c = f * c_scr[...] + i * g
+    h = o * jnp.tanh(c)
+    h_scr[...] = h
+    c_scr[...] = c
+    hs_ref[:, 0] = h.astype(hs_ref.dtype)
+    cs_ref[:, 0] = c.astype(cs_ref.dtype)
+
+
+def _fwd_xproj_call(x, w_ih, w_hh, b, interpret: bool):
+    """x (S,T,B,I) actual-time; w_ih (S,2,I,4H); w_hh (S,2,H,4H);
+    b (S,2,1,4H) per-direction summed biases. Returns packed h_seq
+    (S,T,B,2H) in x.dtype and c_seq (S,T,B,2H) float32 (v5 layouts)."""
+    S, T, B, I = x.shape
+    G = w_hh.shape[-1]
+    H = G // 4
+
+    xmap = lambda d, t: (0, _time_map(d, t, T), 0, 0)
+    omap = lambda d, t: (0, _time_map(d, t, T), 0, d)
+    wmap = lambda d, t: (0, d, 0, 0)
+    return pl.pallas_call(
+        _fwd_xproj_kernel,
+        grid=(2, T),
+        in_specs=[
+            pl.BlockSpec((S, 1, B, I), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, I, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, 1, B, H), omap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, B, H), omap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, T, B, 2 * H), x.dtype),
+            jax.ShapeDtypeStruct((S, T, B, 2 * H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, B, H), jnp.float32),
+            pltpu.VMEM((S, B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w_ih, w_hh, b)
+
+
+def _bwd_xproj_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
+                      wih_ref, whh_ref, whht_ref, b_ref, dxp_ref,
+                      dh_scr, dc_scr, *, T: int):
+    """Reverse sweep, gates recomputed from the raw input (one extra
+    batched x dot replaces streaming the 4x-bigger xp)."""
+    tau = pl.program_id(1)
+
+    @pl.when(tau == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    first = tau == T - 1
+    h_prev = jnp.where(first, 0.0, hprev_ref[:, 0].astype(jnp.float32))
+    c_prev = jnp.where(first, 0.0, cprev_ref[:, 0])
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    gates = jax.lax.dot_general(
+        x_ref[:, 0], wih_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        h_prev, whh_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + b_ref[:, 0].astype(jnp.float32)
+
+    hidden = dh_scr.shape[-1]
+    i = _sigmoid(gates[..., :hidden])
+    f = _sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = _sigmoid(gates[..., 3 * hidden:])
+
+    dh = dh_ref[:, 0].astype(jnp.float32) + dh_scr[...]
+    tc = jnp.tanh(ccur_ref[:, 0])
+    do = dh * tc
+    dc = dc_scr[...] + dh * o * (1.0 - tc * tc)
+    di = dc * g
+    dg = dc * i
+    df = dc * c_prev
+    dc_scr[...] = dc * f
+
+    dgates = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+
+    dh_scr[...] = jax.lax.dot_general(
+        dgates, whht_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+    dxp_ref[:, 0] = dgates.astype(dxp_ref.dtype)
+
+
+def _bwd_xproj_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b,
+                    interpret: bool):
+    """Reverse sweep over packed layouts; streams x instead of xp.
+    Returns dxp packed (S,T,B,8H) float32 (per-step gate gradients in
+    actual-time order — the same contract as v5's `_bwd_call`)."""
+    S, T, B, I = x.shape
+    G = w_hh.shape[-1]
+    H = G // 4
+
+    a = lambda d, tau: _time_map(d, T - 1 - tau, T)
+    prev = lambda d, tau: jnp.clip(
+        jnp.where(d == 0, a(d, tau) - 1, a(d, tau) + 1), 0, T - 1
+    )
+
+    amap = lambda d, tau: (0, a(d, tau), 0, d)     # packed-lane layouts
+    xamap = lambda d, tau: (0, a(d, tau), 0, 0)    # raw input (unpacked)
+    pmap = lambda d, tau: (0, prev(d, tau), 0, d)
+    wmap = lambda d, tau: (0, d, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_xproj_kernel, T=T),
+        grid=(2, T),
+        in_specs=[
+            pl.BlockSpec((S, 1, B, H), amap, memory_space=pltpu.VMEM),   # dh
+            pl.BlockSpec((S, 1, B, I), xamap, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((S, 1, B, H), pmap, memory_space=pltpu.VMEM),   # h_prev
+            pl.BlockSpec((S, 1, B, H), amap, memory_space=pltpu.VMEM),   # c_cur
+            pl.BlockSpec((S, 1, B, H), pmap, memory_space=pltpu.VMEM),   # c_prev
+            pl.BlockSpec((S, 1, I, G), wmap, memory_space=pltpu.VMEM),   # wih
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),   # whh
+            pl.BlockSpec((S, 1, G, H), wmap, memory_space=pltpu.VMEM),   # whh^T
+            pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),   # b
+        ],
+        out_specs=pl.BlockSpec((S, 1, B, G), amap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, T, B, 2 * G), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, B, H), jnp.float32),
+            pltpu.VMEM((S, B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(dh_seq, x, h_seq, c_seq, c_seq, w_ih, w_hh,
+      jnp.swapaxes(w_hh, 2, 3), b)
+
+
+# ---------------------------------------------------------------------------
 # custom_vmap wrappers: the trainer's vmap over models maps to the S axis
 # of ONE kernel launch instead of a sequential grid dimension
 # ---------------------------------------------------------------------------
@@ -361,6 +608,39 @@ def _make_vm(interpret: bool):
             for v, b in zip((dh, xp, h, c, w_hh), in_batched)
         ]
         return _bwd_call(*args, interpret), True
+
+    return vm_fwd, vm_bwd
+
+
+@functools.lru_cache(maxsize=2)
+def _make_vm_xproj(interpret: bool):
+    @custom_vmap
+    def vm_fwd(x, w_ih, w_hh, b):
+        # unbatched view: x (T,B,I), w_ih (2,I,4H), w_hh (2,H,4H), b (2,1,4H)
+        h, c = _fwd_xproj_call(x[None], w_ih[None], w_hh[None], b[None],
+                               interpret)
+        return h[0], c[0]
+
+    @vm_fwd.def_vmap
+    def _vm_fwd_rule(axis_size, in_batched, x, w_ih, w_hh, b):
+        args = [
+            v if bt else _bcast(v, axis_size)
+            for v, bt in zip((x, w_ih, w_hh, b), in_batched)
+        ]
+        return _fwd_xproj_call(*args, interpret), (True, True)
+
+    @custom_vmap
+    def vm_bwd(dh, x, h, c, w_ih, w_hh, b):
+        return _bwd_xproj_call(dh[None], x[None], h[None], c[None],
+                               w_ih[None], w_hh[None], b[None], interpret)[0]
+
+    @vm_bwd.def_vmap
+    def _vm_bwd_rule(axis_size, in_batched, dh, x, h, c, w_ih, w_hh, b):
+        args = [
+            v if bt else _bcast(v, axis_size)
+            for v, bt in zip((dh, x, h, c, w_ih, w_hh, b), in_batched)
+        ]
+        return _bwd_xproj_call(*args, interpret), True
 
     return vm_fwd, vm_bwd
 
@@ -425,6 +705,55 @@ def _recurrence_bwd(interpret, res, dh_seq):
 lstm_recurrence.defvjp(_recurrence_fwd, _recurrence_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lstm_recurrence_xproj(x, w_ih, w_hh, b, interpret=False):
+    """v6 bidirectional recurrence from the RAW input (projection in-kernel).
+
+    x: (T, B, I) actual-time input; w_ih: (2, I, 4H) per-direction input
+    weights (``w_ih_torch.T``); w_hh: (2, H, 4H); b: (2, 1, 4H) summed
+    ``b_ih + b_hh``. Returns h_seq (T, B, 2H) packed [fwd|bwd],
+    actual-time — the same output contract as :func:`lstm_recurrence`,
+    but the (T, B, 8H) projection tensor never exists (hardware A/B in
+    the module docstring / ``scripts/bench_lstm_inkernel_proj.py``).
+    vmap over models maps onto the kernel's S axis."""
+    h_seq, _ = _make_vm_xproj(interpret)[0](x, w_ih, w_hh, b)
+    return h_seq
+
+
+def _xproj_fwd(x, w_ih, w_hh, b, interpret):
+    h_seq, c_seq = _make_vm_xproj(interpret)[0](x, w_ih, w_hh, b)
+    return h_seq, (x, w_ih, w_hh, b, h_seq, c_seq)
+
+
+def _xproj_bwd(interpret, res, dh_seq):
+    x, w_ih, w_hh, b, h_seq, c_seq = res
+    dxp = _make_vm_xproj(interpret)[1](dh_seq, x, h_seq, c_seq,
+                                       w_ih, w_hh, b)
+    # the serial kernel emits only the per-step gate grads; the big
+    # (T*B)-wide reductions below are one XLA MXU pass each
+    g4 = dxp.shape[-1] // 2
+    dg0, dg1 = dxp[..., :g4], dxp[..., g4:]
+    w0 = w_ih[..., 0, :, :]
+    w1 = w_ih[..., 1, :, :]
+    dx = (jnp.einsum("...tbg,...ig->...tbi", dg0, w0)
+          + jnp.einsum("...tbg,...ig->...tbi", dg1, w1))
+    xf = x.astype(jnp.float32)
+    dw_ih = jnp.stack(
+        [jnp.einsum("...tbi,...tbg->...ig", xf, dg0),
+         jnp.einsum("...tbi,...tbg->...ig", xf, dg1)], axis=-3)
+    dw_hh = dw_hh_packed(h_seq, dxp)
+    t_ax = dxp.ndim - 3
+    db = jnp.stack(
+        [dg0.sum(axis=(t_ax, t_ax + 1), keepdims=True).squeeze(t_ax),
+         dg1.sum(axis=(t_ax, t_ax + 1), keepdims=True).squeeze(t_ax)],
+        axis=-3)  # (..., 2, 1, 4H)
+    return (dx.astype(x.dtype), dw_ih.astype(w_ih.dtype),
+            dw_hh.astype(w_hh.dtype), db.astype(b.dtype))
+
+
+lstm_recurrence_xproj.defvjp(_xproj_fwd, _xproj_bwd)
+
+
 def supported_shape(b: int, hidden: int) -> bool:
     """Mosaic tiling wants sublane%8 and lane%128 alignment."""
     return b % 8 == 0 and hidden % 128 == 0 and (4 * hidden) % 512 == 0
@@ -435,23 +764,35 @@ def fused_bilstm_layer(
     fwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     bwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     interpret: bool = False,
+    use_xproj: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for :func:`..ops.rnn.bilstm_layer` (same torch-layout params,
-    same (B, T, 2H) output): XLA computes the hoisted input projections,
-    the Pallas kernel runs the recurrence.
+    same (B, T, 2H) output).
 
-    Layout discipline: the input is transposed to (T, B, I) FIRST (4-8x
-    smaller than the projections), then ONE matmul against the
-    direction-concatenated weights writes the packed (T, B, 8H)
-    projection directly — no (2, T, B, 4H) stack/transpose pass over the
-    biggest tensor in the layer. The kernel returns packed (T, B, 2H), so
-    the output needs only the final (T<->B) transpose."""
+    v6 default (``use_xproj``): the kernel streams the RAW (T, B, I)
+    input and computes the projection in-kernel — the (T, B, 8H)
+    projection tensor never exists (1.67x the v5 forward on hardware,
+    module docstring). Needs the input width lane-aligned (I % 128);
+    otherwise, and under ``MSA_LSTM_XPROJ=0``, the v5 two-pass form runs:
+    the input is transposed to (T, B, I) FIRST (4-8x smaller than the
+    projections), then ONE matmul against the direction-concatenated
+    weights writes the packed (T, B, 8H) projection directly — no
+    (2, T, B, 4H) stack/transpose pass. Either way the kernel returns
+    packed (T, B, 2H), so the output needs only the final (T<->B)
+    transpose."""
     (wif, whf, bif, bhf) = fwd
     (wib, whb, bib, bhb) = bwd
+    if use_xproj is None:
+        use_xproj = _XPROJ_ENABLED and x.shape[-1] % 128 == 0
     xt = jnp.swapaxes(x, 0, 1)  # (T, B, I)
-    w_cat = jnp.concatenate([wif, wib], axis=0)      # (8H, I)
-    b_cat = jnp.concatenate([bif + bhf, bib + bhb])  # (8H,)
-    xp = xt @ w_cat.T + b_cat  # (T, B, 8H) — one big MXU matmul in XLA
     w_hh = jnp.stack([whf.T, whb.T])  # (2, H, 4H)
-    h_seq = lstm_recurrence(xp, w_hh, interpret)  # (T, B, 2H) packed
+    if use_xproj:
+        w_ih = jnp.stack([wif.T, wib.T])  # (2, I, 4H)
+        b = jnp.stack([bif + bhf, bib + bhb])[:, None, :]  # (2, 1, 4H)
+        h_seq = lstm_recurrence_xproj(xt, w_ih, w_hh, b, interpret)
+    else:
+        w_cat = jnp.concatenate([wif, wib], axis=0)      # (8H, I)
+        b_cat = jnp.concatenate([bif + bhf, bib + bhb])  # (8H,)
+        xp = xt @ w_cat.T + b_cat  # (T, B, 8H) — one big MXU matmul
+        h_seq = lstm_recurrence(xp, w_hh, interpret)  # (T, B, 2H) packed
     return jnp.swapaxes(h_seq, 0, 1)  # (B, T, 2H), torch concat order

@@ -1,0 +1,276 @@
+"""Prototype A/B (TPU): BiLSTM backward with the weight/input gradient
+reductions IN-KERNEL ("Option C") vs the production v6 split.
+
+v6 (kernels/lstm.py) emits packed per-step gate gradients dxp
+(S,T,B,8H fp32 = 459 MB/layer at the flagship shape) and leaves the
+dW_ih/dW_hh/dx/db reductions to XLA — which must write dxp once and
+read it for every reduction. This prototype keeps ALL of it in the
+reverse-sweep kernel:
+
+- dx_t = dgates @ W_ih^T — one extra batched dot per step, streamed out
+  packed per-direction as (S,T,B,2I) lane blocks (both directions
+  contribute to every actual time index, so they cannot share one write;
+  XLA sums the halves, fused into the consumer) — still 2x smaller than
+  dxp;
+- dW_cat[d] = sum_t [x_t | h_prev | 1]^T dgates — accumulated directly
+  in the output block (constant index per direction, so the block lives
+  in VMEM across the whole T sweep); the ones-rows make the bias
+  gradient fall out of the same dot.
+
+Cost: 5 batched dots per grid step (vs 3 in v6's backward kernel);
+the dxp tensor never exists. Chained + host-sync timing, single layer,
+grads to (x, w_ih, w_hh, b) via each variant's custom VJP.
+
+RESULT: recorded below / in kernels/lstm.py once measured.
+
+Usage: python scripts/bench_lstm_bwd_inkernel.py
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
+    _fwd_xproj_call, _sigmoid, _time_map, fused_bilstm_layer,
+)
+
+S, B, T, I, H = 24, 64, 73, 256, 128
+G = 4 * H
+N_CHAIN = 30
+
+
+def _sync(tree):
+    np.asarray(jax.tree.leaves(tree)[0]).ravel()[0]
+
+
+def timed(fn, argf, reps=3):
+    _sync(fn(*argf(0)))
+    best = 1e9
+    for i in range(1, reps + 1):
+        a = argf(i)
+        t0 = time.perf_counter()
+        _sync(fn(*a))
+        best = min(best, time.perf_counter() - t0)
+    return best / N_CHAIN * 1e3
+
+
+def _bwd_c_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
+                  wih_ref, whh_ref, whht_ref, wiht_ref, b_ref,
+                  dx_ref, dw_ref, dh_scr, dc_scr, *, T: int):
+    tau = pl.program_id(1)
+
+    @pl.when(tau == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    first = tau == T - 1
+    h_prev = jnp.where(first, 0.0, hprev_ref[:, 0].astype(jnp.float32))
+    c_prev = jnp.where(first, 0.0, cprev_ref[:, 0])
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    x = x_ref[:, 0]
+    gates = jax.lax.dot_general(
+        x, wih_ref[:, 0], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        h_prev, whh_ref[:, 0], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:, 0].astype(jnp.float32)
+
+    hidden = dh_scr.shape[-1]
+    i = _sigmoid(gates[..., :hidden])
+    f = _sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = _sigmoid(gates[..., 3 * hidden:])
+
+    dh = dh_ref[:, 0].astype(jnp.float32) + dh_scr[...]
+    tc = jnp.tanh(ccur_ref[:, 0])
+    do = dh * tc
+    dc = dc_scr[...] + dh * o * (1.0 - tc * tc)
+    di = dc * g
+    dg = dc * i
+    df = dc * c_prev
+    dc_scr[...] = dc * f
+
+    dgates = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f),
+         dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
+
+    dh_scr[...] = jax.lax.dot_general(
+        dgates, whht_ref[:, 0], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[:, 0] = jax.lax.dot_general(
+        dgates, wiht_ref[:, 0], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)  # this direction's lane block of packed dx
+
+    # dW rows = [x | h_prev | 1]^T dgates, contracted over B (sublanes);
+    # the 8 ones-rows each accumulate db (row I+H is read back, the rest
+    # are padding to keep the sublane count 8-aligned)
+    ones = jnp.ones(x.shape[:-1] + (8,), jnp.float32)
+    lhs = jnp.concatenate([x.astype(jnp.float32), h_prev, ones], axis=-1)
+    contrib = jax.lax.dot_general(
+        lhs, dgates,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(tau == 0)
+    def _():
+        dw_ref[:, 0] = contrib
+
+    @pl.when(tau > 0)
+    def _():
+        dw_ref[:, 0] += contrib
+
+
+def bwd_c_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b, interpret=False):
+    """Returns (dx_pk (S,T,B,2I) x.dtype — per-direction lane blocks, sum
+    the halves for dx; dw_cat (S,2,I+H+8,4H) f32) — dw_cat rows
+    [:I]=dW_ih, [I:I+H]=dW_hh, [I+H]=db."""
+    S_, T_, B_, I_ = x.shape
+    G_ = w_hh.shape[-1]
+    H_ = G_ // 4
+    R = I_ + H_ + 8
+
+    a = lambda d, tau: _time_map(d, T_ - 1 - tau, T_)
+    prev = lambda d, tau: jnp.clip(
+        jnp.where(d == 0, a(d, tau) - 1, a(d, tau) + 1), 0, T_ - 1)
+    amap = lambda d, tau: (0, a(d, tau), 0, d)
+    xamap = lambda d, tau: (0, a(d, tau), 0, 0)
+    pmap = lambda d, tau: (0, prev(d, tau), 0, d)
+    wmap = lambda d, tau: (0, d, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_c_kernel, T=T_),
+        grid=(2, T_),
+        in_specs=[
+            pl.BlockSpec((S_, 1, B_, H_), amap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, B_, I_), xamap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, B_, H_), pmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, B_, H_), amap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, B_, H_), pmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, I_, G_), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, H_, G_), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, G_, H_), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, G_, I_), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, 1, G_), wmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S_, 1, B_, I_), amap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_, 1, R, G_), wmap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S_, T_, B_, 2 * I_), x.dtype),
+            jax.ShapeDtypeStruct((S_, 2, R, G_), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S_, B_, H_), jnp.float32),
+            pltpu.VMEM((S_, B_, H_), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(dh_seq, x, h_seq, c_seq, c_seq, w_ih, w_hh,
+      jnp.swapaxes(w_hh, 2, 3), jnp.swapaxes(w_ih, 2, 3), b)
+
+
+# --- standalone custom-VJP layer using the C backward (batched S form) ---
+
+@jax.custom_vjp
+def recurrence_c(x, w_ih, w_hh, b):
+    h, _ = _fwd_xproj_call(x, w_ih, w_hh, b, False)
+    return h
+
+
+def _c_fwd(x, w_ih, w_hh, b):
+    h, c = _fwd_xproj_call(x, w_ih, w_hh, b, False)
+    return h, (x, w_ih, w_hh, b, h, c)
+
+
+def _c_bwd(res, dh):
+    x, w_ih, w_hh, b, h_seq, c_seq = res
+    dx_pk, dw_cat = bwd_c_call(dh, x, h_seq, c_seq, w_ih, w_hh, b)
+    I_ = x.shape[-1]
+    H_ = w_hh.shape[-2]
+    dx = dx_pk[..., :I_] + dx_pk[..., I_:]
+    dw_ih = dw_cat[:, :, :I_, :]
+    dw_hh = dw_cat[:, :, I_:I_ + H_, :]
+    db = dw_cat[:, :, I_ + H_:I_ + H_ + 1, :]
+    return (dx.astype(x.dtype), dw_ih.astype(w_ih.dtype),
+            dw_hh.astype(w_hh.dtype), db.astype(b.dtype))
+
+
+recurrence_c.defvjp(_c_fwd, _c_bwd)
+
+
+def main():
+    dev = jax.devices()[0]
+    print("device:", dev.platform, dev.device_kind, flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((0.5 * rng.normal(size=(S, T, B, I))).astype(np.float32))
+    w_ih = jnp.asarray((0.05 * rng.normal(size=(S, 2, I, G))).astype(np.float32))
+    w_hh = jnp.asarray((0.05 * rng.normal(size=(S, 2, H, G))).astype(np.float32))
+    b = jnp.asarray((0.05 * rng.normal(size=(S, 2, 1, G))).astype(np.float32))
+
+    # production v6 single layer (vmapped custom_vjp path): express via
+    # fused_bilstm_layer's torch-layout params so the real VJP runs
+    def v6_layer(x_btI, wihs, whhs, bs):
+        def one(xm, wi, wh, bm):
+            fwd = (wi[0].T, wh[0].T, bm[0, 0], jnp.zeros_like(bm[0, 0]))
+            bwd = (wi[1].T, wh[1].T, bm[1, 0], jnp.zeros_like(bm[1, 0]))
+            return fused_bilstm_layer(xm, fwd, bwd, use_xproj=True)
+        return jax.vmap(one)(x_btI, wihs, whhs, bs)
+
+    x_bt = jnp.swapaxes(x, 1, 2)  # (S,B,T,I)
+
+    def loss6(x_bt, wi, wh, bs):
+        return jnp.sum(jnp.sin(v6_layer(x_bt, wi, wh, bs)))
+
+    def lossc(x, wi, wh, bs):
+        return jnp.sum(jnp.sin(jnp.swapaxes(recurrence_c(x, wi, wh, bs),
+                                            1, 2)))
+
+    g6 = jax.grad(loss6, argnums=(0, 1, 2, 3))(x_bt, w_ih, w_hh, b)
+    gc = jax.grad(lossc, argnums=(0, 1, 2, 3))(x, w_ih, w_hh, b)
+    gc = (jnp.swapaxes(gc[0], 1, 2),) + gc[1:]
+    for tag, a_, b_ in zip(("dx", "dw_ih", "dw_hh", "db"), g6, gc):
+        rel = (float(jnp.max(jnp.abs(a_ - b_)))
+               / (float(jnp.max(jnp.abs(a_))) + 1e-9))
+        print(f"grad parity {tag}: {rel:.2e}", flush=True)
+
+    def chain(lossfn):
+        vg = jax.value_and_grad(lossfn, argnums=(0, 1, 2, 3))
+
+        @jax.jit
+        def run(xx, wi, wh, bs):
+            def body(w0, _):
+                l, gs = vg(xx, w0, wh, bs)
+                s = l + sum(jnp.sum(g[0, 0]).astype(jnp.float32)
+                            for g in jax.tree.leaves(gs))
+                return w0 + jnp.isnan(s).astype(w0.dtype), s
+
+            _, ss = jax.lax.scan(body, wi, None, length=N_CHAIN)
+            return ss
+        return run
+
+    ms6 = timed(chain(loss6), lambda i: (x_bt + i * 1e-6, w_ih, w_hh, b))
+    print(f"v6 f+b (production) : {ms6:7.3f} ms", flush=True)
+    msc = timed(chain(lossc), lambda i: (x + i * 1e-6, w_ih, w_hh, b))
+    print(f"C  f+b (in-kernel)  : {msc:7.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

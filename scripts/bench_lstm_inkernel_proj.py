@@ -183,7 +183,7 @@ def chain(call):
     def run(x, *ws):
         def body(w0, _):
             out = call(x, w0, *ws[1:])
-            s = out[0][:, 0, 0, :].sum()
+            s = out[:, 0, 0, :].sum()
             return w0 + jnp.isnan(s).astype(w0.dtype), s
 
         _, ss = jax.lax.scan(body, ws[0], None, length=N_CHAIN)

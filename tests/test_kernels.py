@@ -209,7 +209,8 @@ class TestFusedBiLSTM:
             [(4 * hidden, i_dim), (4 * hidden, hidden), (4 * hidden,), (4 * hidden,)]
         )
 
-    def test_forward_parity(self, rng):
+    @pytest.mark.parametrize("use_xproj", [False, True])
+    def test_forward_parity(self, rng, use_xproj):
         from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
             fused_bilstm_layer,
         )
@@ -219,10 +220,12 @@ class TestFusedBiLSTM:
         fwd, bwd = self._params(rng, I, H), self._params(rng, I, H)
         x = jnp.asarray(rng.normal(size=(B, T, I)).astype(np.float32))
         ref = bilstm_layer(x, fwd, bwd)
-        got = fused_bilstm_layer(x, fwd, bwd, interpret=True)
+        got = fused_bilstm_layer(x, fwd, bwd, interpret=True,
+                                 use_xproj=use_xproj)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
-    def test_gradient_parity(self, rng):
+    @pytest.mark.parametrize("use_xproj", [False, True])
+    def test_gradient_parity(self, rng, use_xproj):
         from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
             fused_bilstm_layer,
         )
@@ -237,13 +240,15 @@ class TestFusedBiLSTM:
 
         gr = jax.grad(loss, argnums=(1, 2, 3))(bilstm_layer, x, fwd, bwd)
         gk = jax.grad(loss, argnums=(1, 2, 3))(
-            lambda a, b, c: fused_bilstm_layer(a, b, c, interpret=True),
+            lambda a, b, c: fused_bilstm_layer(
+                a, b, c, interpret=True, use_xproj=use_xproj),
             x, fwd, bwd,
         )
         for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gk)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
 
-    def test_vmap_grad_parity_per_model_weights(self, rng):
+    @pytest.mark.parametrize("use_xproj", [False, True])
+    def test_vmap_grad_parity_per_model_weights(self, rng, use_xproj):
         """The vectorized-LOSO pattern: vmap over models batches weights AND
         activations; the kernel's pallas batching must produce per-model
         grads equal to the scan path's."""
@@ -263,7 +268,8 @@ class TestFusedBiLSTM:
 
         gr = jax.grad(total, argnums=(1, 2))(bilstm_layer, fwds, bwds)
         gk = jax.grad(total, argnums=(1, 2))(
-            lambda a, b, c: fused_bilstm_layer(a, b, c, interpret=True),
+            lambda a, b, c: fused_bilstm_layer(
+                a, b, c, interpret=True, use_xproj=use_xproj),
             fwds, bwds,
         )
         for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gk)):
