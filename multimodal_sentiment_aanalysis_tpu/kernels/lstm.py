@@ -28,18 +28,21 @@ step and the hidden sequence streamed out. Two structural tricks:
   loop (the MXU dependency chain is identical) but Mosaic compiles it
   ~120x faster (3.7 s vs 451 s cold at the flagship shape).
 
-Scope (v6): the recurrence AND the input projection are in-kernel — the
-kernel streams the raw (T, B, I) input and each grid step adds one
-batched ``x_t @ W_ih`` dot to the recurrent dot, so the (T, B, 8H)
-projection tensor (4x the input at the flagship I=2H) never exists. The
-weight/input gradients (large batched matmuls over T*B-wide operands)
-stay in XLA, which runs them at MXU rate: the backward kernel walks time
-in reverse, recomputing the gates from ``x_t + h_prev`` (two dots beat
-storing 4H-wide activations) and emits per-step gate gradients;
-``dW_ih``/``dW_hh``/``dx``/``db`` reduce from those in XLA. Inputs whose
-width is not lane-aligned (I % 128 != 0) take the v5 two-pass form (one
+Scope (v6+v7): the recurrence, the input projection, AND the gradient
+reductions are all in-kernel. Forward (v6): the kernel streams the raw
+(T, B, I) input and each grid step adds one batched ``x_t @ W_ih`` dot
+to the recurrent dot, so the (T, B, 8H) projection tensor (4x the input
+at the flagship I=2H) never exists. Backward (v7): the reverse sweep
+recomputes the gates from ``x_t + h_prev``, accumulates
+``dW_cat = sum_t [x_t | h_prev | 1]^T dgates`` directly in its output
+block (db falls out of the ones-rows), and streams ``dx`` out as
+per-direction lane halves — so the packed gate-grad tensor dxp
+(459 MB/layer fp32) never exists either; the only XLA epilogue is
+summing the two dx halves (fused into the consumer). Inputs whose width
+is not lane-aligned (I % 128 != 0) take the v5 two-pass form (one
 hoisted XLA projection matmul + an xp-streaming kernel), as does
-``MSA_LSTM_XPROJ=0``.
+``MSA_LSTM_XPROJ=0``; ``MSA_LSTM_BWDC=0`` reverts just the backward to
+the v6 split (kernel emits dxp, XLA reduces).
 
 Numerics: matmuls take ``preferred_element_type=float32``; ``h``/``c``
 accumulate in float32 even in bf16 compute mode (tighter than the jnp bf16
@@ -61,24 +64,26 @@ bf16 fwd        7.09 ms     3.06 ms      2.32x
 bf16 f+bwd     15.46 ms     7.77 ms      1.99x
 ===========  ==========  ============  =======
 
-v5-vs-v6 at the same shape (``scripts/bench_lstm_xproj_e2e.py``,
-host-sync chained timing, grads to x and all weights, 2026-08-17):
+v5-vs-v6/v7 at the same shape (``scripts/bench_lstm_xproj_e2e.py``,
+host-sync chained timing, grads to x and all weights; the v6 f+bwd
+column is the SPLIT backward, the v7 column the in-kernel-reductions
+backward, 2026-08-17/18):
 
-===========  ==========  ===========  =======
-config       v5 (xp)     v6 (xproj)   speedup
-===========  ==========  ===========  =======
-fp32 fwd       4.78 ms      2.56 ms    1.86x
-fp32 f+bwd    15.74 ms     13.59 ms    1.16x
-bf16 fwd       3.16 ms      2.16 ms    1.46x
-bf16 f+bwd    12.58 ms     11.69 ms    1.08x
-===========  ==========  ===========  =======
+===========  ==========  ===========  ===========  =======
+config       v5 (xp)     v6 (split)   v7 (bwdc)    v5->v7
+===========  ==========  ===========  ===========  =======
+fp32 fwd       4.78 ms      2.56 ms      (same)     1.86x
+fp32 f+bwd    15.74 ms     13.59 ms      9.37 ms    1.68x
+bf16 fwd       3.16 ms      2.16 ms      (same)     1.46x
+bf16 f+bwd    12.58 ms     11.69 ms      8.55 ms    1.47x
+===========  ==========  ===========  ===========  =======
 
-In situ the standalone 2.2 ms fp32 gain compresses to ~0.5 ms/step
-(paired ``profile_step --only=full``: 42.42 vs 42.87 ms with
-``MSA_LSTM_XPROJ=0``; bench.py headline 33.0k -> 33.5k samples/s fp32,
-40.2k -> 40.4k bf16, 2026-08-18) — the surrounding schedule absorbs
-part of the win, but it is consistently positive and the projection
-tensor's 459 MB/layer of HBM traffic is simply gone.
+In situ: v6 alone compressed to ~0.5 ms/step (paired
+``profile_step --only=full`` 42.42 vs 42.87 ms), but v7's dxp
+elimination holds up end-to-end — full fp32 step 42.42 -> 37.97 ms,
+bench.py headline 33.0k -> 37.3k samples/s fp32 (MFU 11.1%),
+40.2k -> 44.4k bf16 (MFU 13.2%), vectorized-phased 31.7k -> 34.8k
+(2026-08-18), sanity accuracy unchanged.
 
 Revision history of the fused path (each step A/B'd on hardware):
 v2 kept S in the Pallas grid — 3504 sequential grid steps, 18.4 ms fp32
@@ -134,7 +139,11 @@ surrounding XLA schedule. Every production program — the vloso fused
 trainer (fp32 + bf16, 20-epoch invocations), the phased fused/loop and
 vectorized-phased paths, serving, and the CLI drivers — runs repeatedly
 clean (re-validated with v5: ``profile_step --only=full`` 51.7 ms), as
-do the interpret-mode parity tests. Conclusion: an XLA-schedule-
+do the interpret-mode parity tests. v6 status (2026-08-18): unchanged —
+the same artificial ``--only=no-update`` composition still faults with
+the xproj kernels (and with ``MSA_LSTM_XPROJ=0``'s v5 path), while
+``--only=full``, bench.py (all four configs), and the CLI drivers run
+clean; consistent with the external-schedule-interaction conclusion. Conclusion: an XLA-schedule-
 dependent runtime interaction (likely in the tunnel/Mosaic runtime)
 outside the kernel's own code. Mitigations if a NEW composition hits
 it: the ``MSA_FUSED_LSTM=0`` env kill switch, or
@@ -156,6 +165,19 @@ from jax.experimental.pallas import tpu as pltpu
 # fused_bilstm_layer to the v5 two-pass form (XLA projection + xp-streaming
 # kernel) without touching code.
 _XPROJ_ENABLED = os.environ.get("MSA_LSTM_XPROJ", "1") != "0"
+
+# v7 (in-kernel backward reductions) kill switch: MSA_LSTM_BWDC=0 reverts
+# the xproj backward to the v6 split (kernel emits packed gate grads dxp,
+# XLA reduces dW_ih/dW_hh/dx/db from it).
+_BWDC_ENABLED = os.environ.get("MSA_LSTM_BWDC", "1") != "0"
+
+
+def enable_bwdc(on: bool) -> bool:
+    """Toggle the v7 in-kernel backward reductions; returns the old value."""
+    global _BWDC_ENABLED
+    old = _BWDC_ENABLED
+    _BWDC_ENABLED = bool(on)
+    return old
 
 
 def _sigmoid(x):
@@ -574,6 +596,153 @@ def _bwd_xproj_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b,
 
 
 # ---------------------------------------------------------------------------
+# v7: in-kernel backward reductions — dW/db accumulate in the output block,
+# dx streams out directly; the packed gate-grad tensor dxp never exists
+# ---------------------------------------------------------------------------
+#
+# v6's backward emits dxp (S,T,B,8H fp32 = 459 MB/layer) which XLA must
+# write once and read for every reduction (dW_ih, dW_hh, dx, db). v7 keeps
+# all of it in the reverse sweep (hardware A/B
+# ``scripts/bench_lstm_bwd_inkernel.py``, v5e 2026-08-18, single layer,
+# chained + host-sync: v6 7.70 ms -> v7 5.67 ms f+b, 1.36x):
+#
+# - dx_t = dgates contracted with W_ih over the gate dim (A @ B^T form —
+#   no transposed weight copies in VMEM; the naive wih^T/whh^T inputs blew
+#   the 128 MB vmem cap), streamed out packed per-direction as (S,T,B,2I)
+#   lane blocks (both directions touch every actual time index, so they
+#   cannot share one write; XLA sums the halves, fused into the consumer);
+# - dW_cat[d] = sum_t [x_t | h_prev | 1]^T dgates — accumulated in the
+#   output block itself (constant block index per direction, so it lives
+#   in VMEM across the whole T sweep); the ones-rows make db fall out of
+#   the same dot. Rows [:I]=dW_ih, [I:I+H]=dW_hh, [I+H]=db.
+
+
+def _bwd_bwdc_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
+                     wih_ref, whh_ref, b_ref, dx_ref, dw_ref,
+                     dh_scr, dc_scr, *, T: int):
+    tau = pl.program_id(1)
+
+    @pl.when(tau == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    first = tau == T - 1
+    h_prev = jnp.where(first, 0.0, hprev_ref[:, 0].astype(jnp.float32))
+    c_prev = jnp.where(first, 0.0, cprev_ref[:, 0])
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    x = x_ref[:, 0]
+    gates = jax.lax.dot_general(
+        x, wih_ref[:, 0], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        h_prev, whh_ref[:, 0], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:, 0].astype(jnp.float32)
+
+    hidden = dh_scr.shape[-1]
+    i = _sigmoid(gates[..., :hidden])
+    f = _sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = _sigmoid(gates[..., 3 * hidden:])
+
+    dh = dh_ref[:, 0].astype(jnp.float32) + dh_scr[...]
+    tc = jnp.tanh(ccur_ref[:, 0])
+    do = dh * tc
+    dc = dc_scr[...] + dh * o * (1.0 - tc * tc)
+    di = dc * g
+    dg = dc * i
+    df = dc * c_prev
+    dc_scr[...] = dc * f
+
+    dgates = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f),
+         dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
+
+    dnt = (((2,), (2,)), ((0,), (0,)))  # contract gate dims: A @ B^T
+    dh_scr[...] = jax.lax.dot_general(
+        dgates, whh_ref[:, 0], dimension_numbers=dnt,
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[:, 0] = jax.lax.dot_general(
+        dgates, wih_ref[:, 0], dimension_numbers=dnt,
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)  # this direction's lane block of packed dx
+
+    # dW rows = [x | h_prev | 1]^T dgates, contracted over B (sublanes);
+    # 8 ones-rows keep the sublane count aligned — row I+H is db, the
+    # rest are discarded by the caller's slice
+    ones = jnp.ones(x.shape[:-1] + (8,), jnp.float32)
+    lhs = jnp.concatenate([x.astype(jnp.float32), h_prev, ones], axis=-1)
+    contrib = jax.lax.dot_general(
+        lhs, dgates,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(tau == 0)
+    def _():
+        dw_ref[:, 0] = contrib
+
+    @pl.when(tau > 0)
+    def _():
+        dw_ref[:, 0] += contrib
+
+
+def _bwd_bwdc_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b,
+                   interpret: bool):
+    """Reverse sweep with in-kernel reductions. Returns (dx_pk
+    (S,T,B,2I) x.dtype — per-direction lane blocks, sum the halves for
+    dx; dw_cat (S,2,I+H+8,4H) float32 — rows [:I]=dW_ih, [I:I+H]=dW_hh,
+    [I+H]=db)."""
+    S, T, B, I = x.shape
+    G = w_hh.shape[-1]
+    H = G // 4
+    R = I + H + 8
+
+    a = lambda d, tau: _time_map(d, T - 1 - tau, T)
+    prev = lambda d, tau: jnp.clip(
+        jnp.where(d == 0, a(d, tau) - 1, a(d, tau) + 1), 0, T - 1)
+    amap = lambda d, tau: (0, a(d, tau), 0, d)
+    xamap = lambda d, tau: (0, a(d, tau), 0, 0)
+    pmap = lambda d, tau: (0, prev(d, tau), 0, d)
+    wmap = lambda d, tau: (0, d, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_bwdc_kernel, T=T),
+        grid=(2, T),
+        in_specs=[
+            pl.BlockSpec((S, 1, B, H), amap, memory_space=pltpu.VMEM),   # dh
+            pl.BlockSpec((S, 1, B, I), xamap, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((S, 1, B, H), pmap, memory_space=pltpu.VMEM),   # h_prev
+            pl.BlockSpec((S, 1, B, H), amap, memory_space=pltpu.VMEM),   # c_cur
+            pl.BlockSpec((S, 1, B, H), pmap, memory_space=pltpu.VMEM),   # c_prev
+            pl.BlockSpec((S, 1, I, G), wmap, memory_space=pltpu.VMEM),   # wih
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),   # whh
+            pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),   # b
+        ],
+        out_specs=[
+            pl.BlockSpec((S, 1, B, I), amap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, R, G), wmap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, T, B, 2 * I), x.dtype),
+            jax.ShapeDtypeStruct((S, 2, R, G), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, B, H), jnp.float32),
+            pltpu.VMEM((S, B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(dh_seq, x, h_seq, c_seq, c_seq, w_ih, w_hh, b)
+
+
+# ---------------------------------------------------------------------------
 # custom_vmap wrappers: the trainer's vmap over models maps to the S axis
 # of ONE kernel launch instead of a sequential grid dimension
 # ---------------------------------------------------------------------------
@@ -642,7 +811,22 @@ def _make_vm_xproj(interpret: bool):
         ]
         return _bwd_xproj_call(*args, interpret), True
 
-    return vm_fwd, vm_bwd
+    @custom_vmap
+    def vm_bwdc(dh, x, h, c, w_ih, w_hh, b):
+        dx_pk, dw_cat = _bwd_bwdc_call(
+            dh[None], x[None], h[None], c[None],
+            w_ih[None], w_hh[None], b[None], interpret)
+        return dx_pk[0], dw_cat[0]
+
+    @vm_bwdc.def_vmap
+    def _vm_bwdc_rule(axis_size, in_batched, dh, x, h, c, w_ih, w_hh, b):
+        args = [
+            v if bt else _bcast(v, axis_size)
+            for v, bt in zip((dh, x, h, c, w_ih, w_hh, b), in_batched)
+        ]
+        return _bwd_bwdc_call(*args, interpret), (True, True)
+
+    return vm_fwd, vm_bwd, vm_bwdc
 
 
 # ---------------------------------------------------------------------------
@@ -727,6 +911,21 @@ def _xproj_fwd(x, w_ih, w_hh, b, interpret):
 
 def _xproj_bwd(interpret, res, dh_seq):
     x, w_ih, w_hh, b, h_seq, c_seq = res
+    if _BWDC_ENABLED:
+        # v7: the reverse-sweep kernel already reduced everything —
+        # dW/db accumulated in its output block, dx emitted as
+        # per-direction lane halves (summed here, fused by XLA into the
+        # consumer); the dxp tensor never existed
+        dx_pk, dw_cat = _make_vm_xproj(interpret)[2](
+            dh_seq, x, h_seq, c_seq, w_ih, w_hh, b)
+        i_dim = x.shape[-1]
+        hidden = w_hh.shape[-2]
+        dx = dx_pk[..., :i_dim] + dx_pk[..., i_dim:]
+        dw_ih = dw_cat[..., :i_dim, :]
+        dw_hh = dw_cat[..., i_dim:i_dim + hidden, :]
+        db = dw_cat[..., i_dim + hidden:i_dim + hidden + 1, :]
+        return (dx.astype(x.dtype), dw_ih.astype(w_ih.dtype),
+                dw_hh.astype(w_hh.dtype), db.astype(b.dtype))
     dxp = _make_vm_xproj(interpret)[1](dh_seq, x, h_seq, c_seq,
                                        w_ih, w_hh, b)
     # the serial kernel emits only the per-step gate grads; the big

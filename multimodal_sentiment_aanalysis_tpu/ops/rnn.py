@@ -7,7 +7,8 @@ minimize per-step work:
 
 - the input projection ``x_t @ W_ih^T + b`` for *all* timesteps is hoisted out
   of the scan into one large (B*T, I) x (I, 4H) matmul that XLA tiles onto the
-  MXU;
+  MXU (jnp path; the fused TPU kernel computes the projection IN-kernel
+  instead — see ``kernels/lstm.py`` v6);
 - the ``lax.scan`` body only carries the (B, H) recurrent matmul + gate
   elementwise ops;
 - both directions of a bidirectional layer share one scan via stacking, so a

@@ -21,7 +21,21 @@ Cost: 5 batched dots per grid step (vs 3 in v6's backward kernel);
 the dxp tensor never exists. Chained + host-sync timing, single layer,
 grads to (x, w_ih, w_hh, b) via each variant's custom VJP.
 
-RESULT: recorded below / in kernels/lstm.py once measured.
+RESULT (v5e, 2026-08-18, fp32, S=24 B=64 T=73 I=256 H=128, single
+layer, ms/iter, chained + host-sync):
+
+  v6 f+b (split bwd)  : 7.700 ms
+  C  f+b (in-kernel)  : 5.668 ms   (1.36x; parity: dx exact,
+                                    dW 3.4e-07, db 6.7e-05 rel)
+
+First attempt passed wih^T/whh^T as separate operands and blew the
+128 MB vmem cap by 12.5 MB; contracting over the gate dim of both
+operands (A @ B^T form) needs no transposed copies and fits.
+
+INTEGRATED as the production backward (kernels/lstm.py v7,
+MSA_LSTM_BWDC=0 reverts): full fp32 step 42.42 -> 37.97 ms; bench
+headline 33.5k -> 37.3k samples/s fp32 (MFU 11.1%), 40.4k -> 44.4k
+bf16 (MFU 13.2%), phased 31.7k -> 34.8k.
 
 Usage: python scripts/bench_lstm_bwd_inkernel.py
 """
@@ -63,7 +77,7 @@ def timed(fn, argf, reps=3):
 
 
 def _bwd_c_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
-                  wih_ref, whh_ref, whht_ref, wiht_ref, b_ref,
+                  wih_ref, whh_ref, b_ref,
                   dx_ref, dw_ref, dh_scr, dc_scr, *, T: int):
     tau = pl.program_id(1)
 
@@ -105,12 +119,16 @@ def _bwd_c_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
         [di * i * (1.0 - i), df * f * (1.0 - f),
          dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
 
+    # contract over the gate dim of BOTH operands (A @ B^T form) — no
+    # transposed weight copies needed in VMEM (the naive whh^T/wih^T
+    # inputs blew the 128 MB vmem cap by 12.5 MB)
+    dnt = (((2,), (2,)), ((0,), (0,)))
     dh_scr[...] = jax.lax.dot_general(
-        dgates, whht_ref[:, 0], dimension_numbers=dn,
+        dgates, whh_ref[:, 0], dimension_numbers=dnt,
         preferred_element_type=jnp.float32,
     )
     dx_ref[:, 0] = jax.lax.dot_general(
-        dgates, wiht_ref[:, 0], dimension_numbers=dn,
+        dgates, wih_ref[:, 0], dimension_numbers=dnt,
         preferred_element_type=jnp.float32,
     ).astype(dx_ref.dtype)  # this direction's lane block of packed dx
 
@@ -162,8 +180,6 @@ def bwd_c_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b, interpret=False):
             pl.BlockSpec((S_, 1, B_, H_), pmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((S_, 1, I_, G_), wmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((S_, 1, H_, G_), wmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_, 1, G_, H_), wmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_, 1, G_, I_), wmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((S_, 1, 1, G_), wmap, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -183,8 +199,7 @@ def bwd_c_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b, interpret=False):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(dh_seq, x, h_seq, c_seq, c_seq, w_ih, w_hh,
-      jnp.swapaxes(w_hh, 2, 3), jnp.swapaxes(w_ih, 2, 3), b)
+    )(dh_seq, x, h_seq, c_seq, c_seq, w_ih, w_hh, b)
 
 
 # --- standalone custom-VJP layer using the C backward (batched S form) ---

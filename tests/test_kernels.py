@@ -275,6 +275,31 @@ class TestFusedBiLSTM:
         for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gk)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
 
+    def test_gradient_parity_bwd_split_variant(self, rng):
+        """The v6 split backward (dxp + XLA reductions) must match the v7
+        in-kernel-reductions default (kernels/lstm.py MSA_LSTM_BWDC)."""
+        from multimodal_sentiment_aanalysis_tpu.kernels import lstm
+
+        B, T, I, H = 8, 5, 12, 128
+        fwd, bwd = self._params(rng, I, H), self._params(rng, I, H)
+        x = jnp.asarray(rng.normal(size=(B, T, I)).astype(np.float32))
+
+        def grads():
+            def loss(x, fw, bw):
+                return jnp.sum(jnp.sin(lstm.fused_bilstm_layer(
+                    x, fw, bw, interpret=True, use_xproj=True)))
+            return jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+
+        g_c = grads()
+        old = lstm.enable_bwdc(False)
+        try:
+            g_split = grads()
+        finally:
+            lstm.enable_bwdc(old)
+        for a, b in zip(jax.tree.leaves(g_split), jax.tree.leaves(g_c)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5)
+
     def test_dispatch_gate(self):
         from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
             supported_shape,
