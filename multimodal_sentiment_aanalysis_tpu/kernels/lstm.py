@@ -139,11 +139,17 @@ surrounding XLA schedule. Every production program — the vloso fused
 trainer (fp32 + bf16, 20-epoch invocations), the phased fused/loop and
 vectorized-phased paths, serving, and the CLI drivers — runs repeatedly
 clean (re-validated with v5: ``profile_step --only=full`` 51.7 ms), as
-do the interpret-mode parity tests. v6 status (2026-08-18): unchanged —
-the same artificial ``--only=no-update`` composition still faults with
-the xproj kernels (and with ``MSA_LSTM_XPROJ=0``'s v5 path), while
-``--only=full``, bench.py (all four configs), and the CLI drivers run
-clean; consistent with the external-schedule-interaction conclusion. Conclusion: an XLA-schedule-
+do the interpret-mode parity tests. v6 status (2026-08-18): the same
+artificial ``--only=no-update`` composition still faulted with the v6
+xproj kernels (split backward emitting dxp), while ``--only=full``,
+bench.py (all four configs), and the CLI drivers ran clean. v7 status
+(2026-08-18): ``--only=no-update`` runs CLEAN with the production
+default (in-kernel backward reductions — 34.2 ms/step, repeatedly) —
+eliminating the dxp tensor changes the surrounding XLA schedule enough
+to stop triggering the external fault. The historical fault remains
+reachable only via the reverted forms (``MSA_LSTM_BWDC=0`` /
+``MSA_LSTM_XPROJ=0``); consistent with the external-schedule-
+interaction conclusion. Conclusion: an XLA-schedule-
 dependent runtime interaction (likely in the tunnel/Mosaic runtime)
 outside the kernel's own code. Mitigations if a NEW composition hits
 it: the ``MSA_FUSED_LSTM=0`` env kill switch, or
