@@ -366,13 +366,16 @@ def main() -> None:
 
     log("[2/4] fused vectorized-LOSO training, bf16 compute")
     try:
-        sps_bf16, mfu_bf16, _ = bench_fused_vloso(
+        sps_bf16, mfu_bf16, trainer16 = bench_fused_vloso(
             MultimodalTransformerModel, ds, n_subjects, peak,
             compute_dtype="bfloat16", moment_dtype="bfloat16",
         )
         extra["vloso_bf16_samples_per_sec"] = round(sps_bf16, 1)
         if mfu_bf16 is not None:
             extra["vloso_bf16_mfu"] = round(mfu_bf16, 4)
+        acc16 = float(trainer16.evaluate()["a_acc"].mean())
+        log(f"  sanity eval: mean arousal acc {acc16:.2%}")
+        extra["vloso_bf16_sanity_arousal_acc"] = round(acc16, 4)
     except Exception as e:  # never lose the headline to a secondary config
         log(f"  bf16 config failed: {e!r}")
 

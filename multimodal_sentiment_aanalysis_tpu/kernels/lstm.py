@@ -177,6 +177,24 @@ _XPROJ_ENABLED = os.environ.get("MSA_LSTM_XPROJ", "1") != "0"
 # XLA reduces dW_ih/dW_hh/dx/db from it).
 _BWDC_ENABLED = os.environ.get("MSA_LSTM_BWDC", "1") != "0"
 
+# MEASURED NEGATIVE (default off): casting the float32 state/grad
+# operands (h, dgates, h_prev) to bfloat16 at the DOT INPUTS — hoping
+# the MXU would run bf16-rate instead of mixed-precision rate — is a
+# wash on hardware (v5e 2026-08-18, bench_lstm_xproj_e2e bf16 rows:
+# f+b 8.71 ms cast vs 8.69 ms full-precision; fwd 2.16 vs 2.22). The
+# per-step dots are latency/streaming-bound at these shapes, not
+# operand-rate-bound, so the kernels keep full-precision operands (and
+# the tighter numerics). MSA_LSTM_BF16_DOTS=1 re-enables the cast.
+_BF16_DOTS_ENABLED = os.environ.get("MSA_LSTM_BF16_DOTS", "0") == "1"
+
+
+def _dot_op(v, out_dtype):
+    """Cast a float32 dot operand to bf16 when the layer computes in bf16
+    (and the toggle is on); identity otherwise."""
+    if _BF16_DOTS_ENABLED and out_dtype == jnp.bfloat16:
+        return v.astype(jnp.bfloat16)
+    return v
+
 
 def enable_bwdc(on: bool) -> bool:
     """Toggle the v7 in-kernel backward reductions; returns the old value."""
@@ -434,12 +452,13 @@ def _fwd_xproj_kernel(x_ref, wih_ref, whh_ref, b_ref, hs_ref, cs_ref,
     # two batched dots (the lane-concatenated single-dot form measured 7%
     # slower and needs a materialized [W_ih; W_hh] concat); x stays in its
     # native dtype so bf16 inputs hit the MXU at bf16 rate, accumulating
-    # fp32 via preferred_element_type.
+    # fp32 via preferred_element_type; in bf16 mode the fp32 h carry is
+    # cast at the dot input too (_dot_op) so the chain dot runs bf16-rate.
     gates = jax.lax.dot_general(
         x_ref[:, 0], wih_ref[:, 0],
         dimension_numbers=dn, preferred_element_type=jnp.float32,
     ) + jax.lax.dot_general(
-        h_scr[...], whh_ref[:, 0],
+        _dot_op(h_scr[...], hs_ref.dtype), whh_ref[:, 0],
         dimension_numbers=dn, preferred_element_type=jnp.float32,
     ) + b_ref[:, 0].astype(jnp.float32)
 
@@ -513,11 +532,12 @@ def _bwd_xproj_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
     c_prev = jnp.where(first, 0.0, cprev_ref[:, 0])
 
     dn = (((2,), (1,)), ((0,), (0,)))
+    cdt = x_ref.dtype  # compute dtype: _dot_op casts fp32 operands in bf16 mode
     gates = jax.lax.dot_general(
         x_ref[:, 0], wih_ref[:, 0],
         dimension_numbers=dn, preferred_element_type=jnp.float32,
     ) + jax.lax.dot_general(
-        h_prev, whh_ref[:, 0],
+        _dot_op(h_prev, cdt), whh_ref[:, 0],
         dimension_numbers=dn, preferred_element_type=jnp.float32,
     ) + b_ref[:, 0].astype(jnp.float32)
 
@@ -547,7 +567,7 @@ def _bwd_xproj_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
     )
 
     dh_scr[...] = jax.lax.dot_general(
-        dgates, whht_ref[:, 0],
+        _dot_op(dgates, cdt), whht_ref[:, 0],
         dimension_numbers=dn, preferred_element_type=jnp.float32,
     )
     dxp_ref[:, 0] = dgates.astype(dxp_ref.dtype)
@@ -638,12 +658,13 @@ def _bwd_bwdc_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
     c_prev = jnp.where(first, 0.0, cprev_ref[:, 0])
 
     dn = (((2,), (1,)), ((0,), (0,)))
+    cdt = x_ref.dtype  # compute dtype: _dot_op casts fp32 operands in bf16 mode
     x = x_ref[:, 0]
     gates = jax.lax.dot_general(
         x, wih_ref[:, 0], dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     ) + jax.lax.dot_general(
-        h_prev, whh_ref[:, 0], dimension_numbers=dn,
+        _dot_op(h_prev, cdt), whh_ref[:, 0], dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     ) + b_ref[:, 0].astype(jnp.float32)
 
@@ -667,22 +688,26 @@ def _bwd_bwdc_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
          dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
 
     dnt = (((2,), (2,)), ((0,), (0,)))  # contract gate dims: A @ B^T
+    dg_op = _dot_op(dgates, cdt)
     dh_scr[...] = jax.lax.dot_general(
-        dgates, whh_ref[:, 0], dimension_numbers=dnt,
+        dg_op, whh_ref[:, 0], dimension_numbers=dnt,
         preferred_element_type=jnp.float32,
     )
     dx_ref[:, 0] = jax.lax.dot_general(
-        dgates, wih_ref[:, 0], dimension_numbers=dnt,
+        dg_op, wih_ref[:, 0], dimension_numbers=dnt,
         preferred_element_type=jnp.float32,
     ).astype(dx_ref.dtype)  # this direction's lane block of packed dx
 
     # dW rows = [x | h_prev | 1]^T dgates, contracted over B (sublanes);
     # 8 ones-rows keep the sublane count aligned — row I+H is db, the
     # rest are discarded by the caller's slice
-    ones = jnp.ones(x.shape[:-1] + (8,), jnp.float32)
-    lhs = jnp.concatenate([x.astype(jnp.float32), h_prev, ones], axis=-1)
+    acc_t = dg_op.dtype
+    ones = jnp.ones(x.shape[:-1] + (8,), acc_t)
+    lhs = jnp.concatenate(
+        [x.astype(acc_t), _dot_op(h_prev, cdt).astype(acc_t), ones],
+        axis=-1)
     contrib = jax.lax.dot_general(
-        lhs, dgates,
+        lhs, dg_op,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )

@@ -138,7 +138,10 @@ def main():
         for a, b in zip(jax.tree.leaves(g5), jax.tree.leaves(g6)))
     print(f"grad v5-vs-v6 rel err: {rel:.2e}", flush=True)
 
+    only_dt = os.environ.get("MSA_BENCH_DTYPE", "")  # "fp32"/"bf16" filter
     for dtype, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        if only_dt and tag != only_dt:
+            continue
         x = x32.astype(dtype)
         params = make_params(np.random.default_rng(1), dtype)
         for use_xproj, ktag in ((False, "v5 (xp)  "), (True, "v6 (xproj)")):
