@@ -306,7 +306,7 @@ def _fwd_call(conv, sc, sh, seeds, *, pool, p, block_b, interpret):
         # intermediates live; the 16 MB default scoped-VMEM cap is too
         # tight at stage-1 shapes (v5e has 128 MB)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=100 * 2**20,
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
@@ -337,9 +337,12 @@ def _bwd_kernel(conv_ref, dpool_ref, win_ref, sc_ref, sh_ref,
     if p > 0.0:
         kept = code >= jnp.int32(pool)
         g = jnp.where(kept, g * (1.0 / (1.0 - p)), 0.0)
-    for j in range(pool):
-        dy_ref[0, :, :, j * c:(j + 1) * c] = \
-            jnp.where(jwin == j, g, 0.0).astype(dy_ref.dtype)
+    # route g to the winner's lane group as ONE full-lane value + a single
+    # block write — per-group masked lane-slice stores (offsets j*c are
+    # not vreg-aligned at c=64) lowered poorly
+    dy_ref[0] = jnp.concatenate(
+        [jnp.where(jwin == j, g, 0.0) for j in range(pool)], axis=-1
+    ).astype(dy_ref.dtype)
     xhat = (xw - mean_ref[0, 0][None, None, :].astype(jnp.float32)) * \
         inv_ref[0, 0][None, None, :].astype(jnp.float32)
     # partial channel sums in row 0 of an (8, c) tile (Mosaic tiling
@@ -397,7 +400,7 @@ def _bwd_call(conv, dpool, win, sc, sh, mean, inv, *,
             jax.ShapeDtypeStruct((S, nb, 8, c), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=100 * 2**20,
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
@@ -409,7 +412,9 @@ def _bwd_call(conv, dpool, win, sc, sh, mean, inv, *,
 # custom-VJP
 # ---------------------------------------------------------------------------
 
-_BLOCK_B = 8
+# batch-tile of each grid step; 8 = 192 grid steps at the flagship shape.
+# Env-tunable for A/B (MSA_STEM_BLOCK_B).
+_BLOCK_B = int(os.environ.get("MSA_STEM_BLOCK_B", "8"))
 
 
 def _bcast(x, n):

@@ -143,13 +143,18 @@ do the interpret-mode parity tests. v6 status (2026-08-18): the same
 artificial ``--only=no-update`` composition still faulted with the v6
 xproj kernels (split backward emitting dxp), while ``--only=full``,
 bench.py (all four configs), and the CLI drivers ran clean. v7 status
-(2026-08-18): ``--only=no-update`` runs CLEAN with the production
-default (in-kernel backward reductions — 34.2 ms/step, repeatedly) —
-eliminating the dxp tensor changes the surrounding XLA schedule enough
-to stop triggering the external fault. The historical fault remains
-reachable only via the reverted forms (``MSA_LSTM_BWDC=0`` /
-``MSA_LSTM_XPROJ=0``); consistent with the external-schedule-
-interaction conclusion. Conclusion: an XLA-schedule-
+(2026-08-18): the faulting ablation MOVED — ``--only=no-update`` runs
+CLEAN with the in-kernel-reductions backward (34.2 ms/step,
+repeatedly), but ``--only=ce-only`` (contrastive losses dropped from
+the objective, another profiling-only composition) now crashes the TPU
+worker, and runs clean again under ``MSA_LSTM_BWDC=0`` (42.5 ms/step).
+Every production composition (``--only=full``, bench.py's four
+configs, the CLI drivers) remains clean across all kernel revisions.
+Conclusion unchanged and reinforced: an XLA-schedule-dependent runtime
+interaction outside the kernel's own code — which ablation schedule
+trips it shifts with the kernel revision. Mitigation for any NEW
+composition that hits it: ``MSA_FUSED_LSTM=0`` (all-jnp),
+``MSA_LSTM_BWDC=0`` (v6 split backward), or ``MSA_LSTM_XPROJ=0`` (v5). Conclusion: an XLA-schedule-
 dependent runtime interaction (likely in the tunnel/Mosaic runtime)
 outside the kernel's own code. Mitigations if a NEW composition hits
 it: the ``MSA_FUSED_LSTM=0`` env kill switch, or

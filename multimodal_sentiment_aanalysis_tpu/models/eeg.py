@@ -108,9 +108,11 @@ class EEGMultiScaleNet(nn.Module):
     dropout: float = 0.4
 
     def _stage(self, h, weight, bias, padding, pool, bn_name, train):
-        """conv -> BN -> GELU -> dropout -> pool; on TPU in train mode the
-        post-conv tail runs as ONE fused Pallas pass
-        (:func:`..kernels.conv_stem_train.fused_stage_train`)."""
+        """conv -> BN -> GELU -> dropout -> pool; on TPU the post-conv
+        tail runs as ONE fused Pallas pass
+        (:func:`..kernels.conv_stem_train.fused_stage_train`) — in train
+        mode with batch stats + in-kernel dropout PRNG, in eval mode with
+        the running stats and p=0."""
         import jax
 
         from ..kernels import conv_stem_train as cst
@@ -118,9 +120,12 @@ class EEGMultiScaleNet(nn.Module):
         h = conv1d(h, weight, bias, padding=padding)
         scale, bn_bias, mean, var = _BNVars(name=bn_name)(h, train)
         p = self.dropout if train else 0.0
+        # eval mode dispatches the same fused kernel with p=0 and the
+        # running stats (measured: the jnp eval stem made fwd-eval SLOWER
+        # than the fused train fwd — 18.8 vs 14.7 ms/step, profile_step
+        # 2026-08-18); the serving path keeps its own folded-BN kernel
         use_fused = (
-            train
-            and not self.is_initializing()
+            not self.is_initializing()
             and cst.dispatch_enabled()
             and jax.default_backend() == "tpu"
             and cst.supported_shape(h.shape[0], h.shape[-1], pool)

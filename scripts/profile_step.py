@@ -169,14 +169,16 @@ def main():
     variants = [
         ("full", dict(dropout=True, contrastive=True, update=True, backward=True)),
         ("no-dropout", dict(dropout=False, contrastive=True, update=True, backward=True)),
-        ("ce-only", dict(dropout=True, contrastive=False, update=True, backward=True)),
         ("fwd-only", dict(dropout=True, contrastive=True, update=False, backward=False)),
         ("fwd-eval", dict(dropout=True, contrastive=True, update=False,
                           backward=False, train_mode=False)),
-        # LAST: this composition faults the packed LSTM kernel on the
-        # tunnel (see kernels/lstm.py "Known issue") — keeping it at the
-        # end lets the default run collect every other number first
+        # LAST TWO: ablation compositions that have faulted the fused LSTM
+        # kernel on the tunnel (kernels/lstm.py "Known issue"; the faulting
+        # member MOVED with the kernel revision — no-update faulted with
+        # v5/v6, ce-only faults with v7) — keeping them at the end lets the
+        # default run collect every other number first
         ("no-update", dict(dropout=True, contrastive=True, update=False, backward=True)),
+        ("ce-only", dict(dropout=True, contrastive=False, update=True, backward=True)),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     if only:
