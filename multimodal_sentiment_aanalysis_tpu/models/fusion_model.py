@@ -26,7 +26,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.losses import supervised_infonce
+from ..ops.losses import supervised_infonce_multi
 from .cross_modal import CrossModalTransformer
 from .eeg import EEGMultiScaleNet
 from .layers import gelu
@@ -128,17 +128,16 @@ class MultimodalTransformerModel(nn.Module):
         if labels is not None:
             arousal_labels = labels[0]
             mask = labels[2] if len(labels) > 2 else None
-            c_eeg = supervised_infonce(
-                eeg_feat, eeg_feat, arousal_labels, self.temperature_param, mask
-            )
-            c_eye = supervised_infonce(
-                eye_feat, eye_feat, arousal_labels, self.temperature_param, mask
-            )
-            c_pps = supervised_infonce(
-                pps_feat, pps_feat, arousal_labels, self.temperature_param, mask
+            # the three per-modality losses share labels/mask/temperature:
+            # one stacked call = ONE kernel launch for all losses x all
+            # vmapped models (vs 3 launches serialized to S grid steps
+            # each under the vectorized-LOSO vmap)
+            feats = jnp.stack([eeg_feat, eye_feat, pps_feat])
+            c = supervised_infonce_multi(
+                feats, feats, arousal_labels, self.temperature_param, mask
             )
             cw = self.contrastive_weight[0]
-            outputs_contrastive = (cw * c_eeg, cw * c_eye, cw * c_pps)
+            outputs_contrastive = (cw * c[0], cw * c[1], cw * c[2])
 
         eye_enhanced = self.cross_attn_e2p(eeg_feat, eye_feat, eye_feat)
         pps_enhanced = self.cross_attn_p2e(eeg_feat, pps_feat, pps_feat)

@@ -39,6 +39,11 @@ def _l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.nda
 _FUSED_INFONCE_ENABLED = os.environ.get("MSA_FUSED_INFONCE", "1") != "0"
 
 
+# Opt-in for the stacked multi-loss kernel (see supervised_infonce_multi's
+# routing note — defaults OFF after a measured e2e wash + a fault sighting)
+_INFONCE_MULTI_OPTIN = os.environ.get("MSA_INFONCE_MULTI", "0") == "1"
+
+
 def enable_fused_infonce(on: bool) -> bool:
     """Toggle the TPU fused-InfoNCE dispatch; returns the old value."""
     global _FUSED_INFONCE_ENABLED
@@ -104,6 +109,41 @@ def supervised_infonce(
         valid = mask.astype(loss.dtype)
         return (loss * valid).sum() / jnp.maximum(valid.sum(), 1.0)
     return loss.mean()
+
+
+def supervised_infonce_multi(
+    feats1: jnp.ndarray,
+    feats2: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: jnp.ndarray | float,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """G supervised-InfoNCE losses sharing labels/mask/temperature.
+
+    Same numerics as G calls to :func:`supervised_infonce` on
+    ``feats1[g], feats2[g]``, returned as a (G,) vector.
+
+    Routing (measured 2026-08-18): the one-launch stacked kernel
+    (:func:`..kernels.contrastive.fused_supervised_infonce_multi` — all G
+    losses x all vmapped models in ONE kernel, custom_vmap) is e2e NOISE
+    vs G single-kernel calls (bench fp32 37,309 vs 37,217 samples/s; the
+    S*G-launch serialization it removes was already cheap), and wiring it
+    into the model made ``profile_step --only=full`` trip the external
+    schedule-dependent fault (kernels/lstm.py "Known issue" class;
+    reproducible; bench/CLI programs stayed clean; the kernel standalone
+    is clean at 1.04 ms/iter chained f+b). Default is therefore the G
+    single calls; ``MSA_INFONCE_MULTI=1`` opts into the stacked kernel."""
+    if (_INFONCE_MULTI_OPTIN and _FUSED_INFONCE_ENABLED
+            and jax.default_backend() == "tpu"):
+        from ..kernels.contrastive import fused_supervised_infonce_multi
+
+        return fused_supervised_infonce_multi(
+            feats1, feats2, labels, temperature, mask
+        )
+    return jnp.stack([
+        supervised_infonce(feats1[g], feats2[g], labels, temperature, mask)
+        for g in range(feats1.shape[0])
+    ])
 
 
 def ntxent_supervised_two_view(
