@@ -147,14 +147,20 @@ bench.py (all four configs), and the CLI drivers ran clean. v7 status
 CLEAN with the in-kernel-reductions backward (34.2 ms/step,
 repeatedly), but ``--only=ce-only`` (contrastive losses dropped from
 the objective, another profiling-only composition) now crashes the TPU
-worker, and runs clean again under ``MSA_LSTM_BWDC=0`` (42.5 ms/step).
-Every production composition (``--only=full``, bench.py's four
-configs, the CLI drivers) remains clean across all kernel revisions.
-Conclusion unchanged and reinforced: an XLA-schedule-dependent runtime
-interaction outside the kernel's own code — which ablation schedule
-trips it shifts with the kernel revision. Mitigation for any NEW
-composition that hits it: ``MSA_FUSED_LSTM=0`` (all-jnp),
-``MSA_LSTM_BWDC=0`` (v6 split backward), or ``MSA_LSTM_XPROJ=0`` (v5). Conclusion: an XLA-schedule-
+worker; with the day's full graph (v7 + eval-stem dispatch + InfoNCE
+VJP fix) ce-only faults under BOTH the v7 default and the
+``MSA_LSTM_XPROJ=0`` (v5) revert, and is clean under
+``MSA_LSTM_BWDC=0`` (42.5 ms/step) — i.e. fault membership shifts with
+ANY graph change, not specifically the LSTM revision. Separately,
+wiring the stacked multi-InfoNCE kernel into the model made
+``--only=full`` itself fault (reverted to opt-in; see
+``kernels/contrastive.py``). Every production composition
+(``--only=full`` with the default graph, bench.py's four configs, the
+CLI drivers) is validated clean per revision. Conclusion unchanged and
+reinforced: an XLA-schedule-dependent runtime interaction outside the
+kernels' own code. Mitigations if a NEW composition hits it:
+``MSA_FUSED_LSTM=0`` (all-jnp), ``MSA_LSTM_BWDC=0`` (v6 split
+backward), or ``MSA_LSTM_XPROJ=0`` (v5). Conclusion: an XLA-schedule-
 dependent runtime interaction (likely in the tunnel/Mosaic runtime)
 outside the kernel's own code. Mitigations if a NEW composition hits
 it: the ``MSA_FUSED_LSTM=0`` env kill switch, or
