@@ -195,7 +195,12 @@ def _phased_vectorized(args, model, full, n_subjects, ex_nums) -> None:
         compute_dtype="bfloat16" if args.bf16 else None,
         mesh=mesh, verbose=not args.quiet,
     )
+    if getattr(args, "resume", None):
+        trainer.restore_state(args.resume)
+        print(f"resumed from {args.resume}")
     res = trainer.run(*args.epochs)
+    if getattr(args, "save_state", None):
+        print(f"state saved to {trainer.save_state(args.save_state)}")
     for sid in range(n_subjects):
         print(
             f"subject {sid}: arousal acc "
@@ -391,7 +396,12 @@ def cmd_vloso(args) -> None:
         compute_dtype="bfloat16" if args.bf16 else None,
         mesh=mesh,
     )
+    if getattr(args, "resume", None):
+        trainer.restore_state(args.resume)
+        print(f"resumed from {args.resume}")
     res = trainer.run(args.epochs[0], verbose=not args.quiet, fused=args.fused)
+    if getattr(args, "save_state", None):
+        print(f"state saved to {trainer.save_state(args.save_state)}")
     _write_results(args, {
         "mean_arousal_acc": res["mean_arousal_acc"],
         "mean_valence_acc": res["mean_valence_acc"],
@@ -548,6 +558,12 @@ def main(argv: list[str] | None = None) -> None:
                         "the subject axis over all local devices; in the "
                         "sequential loop, shard each batch's rows (GSPMD "
                         "batch-DP, XLA-inserted collectives)")
+    p.add_argument("--save-state", default=None, dest="save_state",
+                   help="with --vectorized: write a full-state resume "
+                        "checkpoint (all subjects) after the run")
+    p.add_argument("--resume", default=None,
+                   help="with --vectorized: restore a --save-state "
+                        "checkpoint before training (phase-boundary resume)")
     p.set_defaults(fn=cmd_phased)
 
     p = sub.add_parser("simclr", help="contrastive pretrain + finetune LOSO")
@@ -579,6 +595,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--fused", action="store_true",
                    help="compile all epochs into ONE program with on-device "
                         "batch plans (no host work in the loop)")
+    p.add_argument("--save-state", default=None, dest="save_state",
+                   help="write a full-state resume checkpoint (params, BN "
+                        "stats, optimizer, RNG streams for all models) "
+                        "after the run")
+    p.add_argument("--resume", default=None,
+                   help="restore a --save-state checkpoint before training")
     p.set_defaults(fn=cmd_vloso)
 
     p = sub.add_parser("memhacl", help="ME-MHACL pretrain + joint finetune")

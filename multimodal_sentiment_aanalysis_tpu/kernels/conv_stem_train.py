@@ -89,6 +89,22 @@ backward returns the COMPLETE BatchNorm input gradient
 formulation, so the caller's stats computation contributes no extra
 gradient path.
 
+**Backward v4 considered and rejected on traffic accounting (r3).** A
+two-pass backward that never materializes ``dy`` (pass 1: partial
+dgamma/dbeta only; XLA: tiny total; pass 2: emit ``dconv`` directly
+with the totals folded in, in-kernel reshape to row-major where
+``C % 128 == 0``) was sized before building. Per stage-2 step the win
+is one dy write+read minus one extra dpool+win read ≈ 230 MB ≈ 0.28 ms
+at v5e HBM; stage 1 is parity (the unsupported in-kernel reshape at
+C=64 re-introduces the relayout pass the current combine already fuses
+for free). Both are below this harness's e2e A/B noise and far below
+the measured ~3 ms gap between the stem backward's traffic roofline
+(~3.2 GB -> 3.9 ms incl. conv grads) and its in-situ cost (10.7 ms) —
+that gap is XLA pass/scheduling overhead, which a kernel swap does not
+touch. Recorded instead of built, per the in-situ-compression lesson
+(CLAUDE.md): only real traffic eliminations hold, and this one is too
+small to survive the noise floor.
+
 Dropout stream: the fused path draws bits from the kernel PRNG seeded per
 (call, block) — same Bernoulli(1-p) distribution as ``nn.Dropout`` but a
 different stream than the jnp path (parity tests therefore pin p=0; a

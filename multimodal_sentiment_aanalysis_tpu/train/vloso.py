@@ -385,6 +385,70 @@ class VectorizedLOSOTrainer:
         n = np.maximum(totals.pop("n"), 1.0)
         return {k_: (v / n)[:, : self.n_subjects] for k_, v in totals.items()}
 
+    # ------------------------------------------------------------------
+    # full-state checkpoint/resume (net-new vs the reference, whose LOSO
+    # loop can only save final per-subject weights — SURVEY.md §5 flags
+    # resume as a reference gap) + per-subject export for Tester/serving.
+    def subject_variables(self, sid: int) -> dict:
+        """Slice one subject's flax variables out of the stacked state
+        (for :class:`..eval.tester.Tester` / serving, matching the
+        sequential driver's checkpoint payload)."""
+        take = lambda t: jax.tree.map(lambda x: x[sid], t)
+        return {
+            "params": take(self.params["model"]),
+            "batch_stats": take(self.batch_stats),
+        }
+
+    def _state_tree(self) -> dict:
+        import json
+
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "dropout_keys": jax.random.key_data(self.dropout_keys),
+            "fused_key": jax.random.key_data(self._fused_key),
+            # JSON leaf: host-RNG state is a variable structure msgpack
+            # restore couldn't type (same convention as engine.save_state)
+            "host": json.dumps(
+                {"rng_state": self.host_rng.bit_generator.state}
+            ),
+        }
+
+    def save_state(self, path: str) -> str:
+        """Serialize ALL 24 models' params, BN stats, optimizer states and
+        RNG streams so the vectorized experiment resumes exactly."""
+        from ..utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(path, self._state_tree())
+
+    def restore_state(self, path: str) -> None:
+        import json
+
+        from ..utils.checkpoint import load_checkpoint
+
+        tree = load_checkpoint(path, self._state_tree())
+        self.params = tree["params"]
+        self.batch_stats = tree["batch_stats"]
+        self.opt_state = tree["opt_state"]
+        self.dropout_keys = jax.random.wrap_key_data(
+            tree["dropout_keys"], impl="rbg"
+        )
+        self._fused_key = jax.random.wrap_key_data(
+            tree["fused_key"], impl="rbg"
+        )
+        host = json.loads(tree["host"])
+        self.host_rng = np.random.default_rng()
+        self.host_rng.bit_generator.state = host["rng_state"]
+        if self.mesh is not None:  # re-place the subject shards
+            put = lambda t: jax.tree.map(
+                lambda x: jax.device_put(x, self._shard), t
+            )
+            self.params = put(self.params)
+            self.batch_stats = put(self.batch_stats)
+            self.opt_state = put(self.opt_state)
+            self.dropout_keys = jax.device_put(self.dropout_keys, self._shard)
+
     def evaluate(self) -> dict[str, np.ndarray]:
         """Per-subject held-out accuracies, (S,) each."""
         test_idx = jnp.asarray(self.test_idx)

@@ -98,6 +98,7 @@ class VectorizedPhasedTrainer:
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.verbose = verbose
+        self.rng_impl = rng_impl  # recorded for checkpoint key round-trips
 
         if mesh is not None:
             nd = int(mesh.devices.size)
@@ -386,6 +387,74 @@ class VectorizedPhasedTrainer:
         }
 
     # ------------------------------------------------------------------
+    # phase-boundary checkpoint/resume (same convention as
+    # MultiTaskTrainer.save_state; the optimizer state is rebuilt per
+    # epoch inside the phase program — the reference's per-epoch-reset
+    # quirk — so params/stats/RNG streams are the complete state).
+    def _state_tree(self) -> dict:
+        import json
+
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "dropout_keys": jax.random.key_data(self.dropout_keys),
+            "host": json.dumps({
+                "rng_states": [r.bit_generator.state for r in self.host_rngs],
+                "metrics": {
+                    split: {
+                        k: [np.asarray(a).tolist() for a in v]
+                        for k, v in d.items()
+                    }
+                    for split, d in self.metrics.items()
+                },
+                "last_test": {
+                    k: np.asarray(v).tolist()
+                    for k, v in self._last_test.items()
+                },
+            }),
+        }
+
+    def save_state(self, path: str) -> str:
+        """Serialize all subjects' params, BN stats, dropout streams,
+        per-subject host RNGs and metric history — resume the curriculum
+        at any phase boundary."""
+        from ..utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(path, self._state_tree())
+
+    def restore_state(self, path: str) -> None:
+        import json
+
+        from ..utils.checkpoint import load_checkpoint
+
+        tree = load_checkpoint(path, self._state_tree())
+        self.params = tree["params"]
+        self.batch_stats = tree["batch_stats"]
+        impl = "rbg" if self.rng_impl == "rbg" else "threefry2x32"
+        self.dropout_keys = jax.random.wrap_key_data(
+            tree["dropout_keys"], impl=impl
+        )
+        host = json.loads(tree["host"])
+        self.host_rngs = []
+        for st in host["rng_states"]:
+            r = np.random.default_rng()
+            r.bit_generator.state = st
+            self.host_rngs.append(r)
+        self.metrics = {
+            split: {k: [np.asarray(a) for a in v] for k, v in d.items()}
+            for split, d in host["metrics"].items()
+        }
+        self._last_test = {
+            k: np.asarray(v) for k, v in host["last_test"].items()
+        }
+        if self.mesh is not None:  # re-place the subject shards
+            put = lambda t: jax.tree.map(
+                lambda x: jax.device_put(x, self._shard), t
+            )
+            self.params = put(self.params)
+            self.batch_stats = put(self.batch_stats)
+            self.dropout_keys = jax.device_put(self.dropout_keys, self._shard)
+
     def subject_variables(self, sid: int) -> dict:
         """Slice one subject's flax variables out of the stacked state
         (for Tester / checkpointing, matching the sequential driver)."""

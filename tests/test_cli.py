@@ -116,6 +116,25 @@ class TestCLISmoke:
         payload = _check_json(res, ("mean_arousal_acc", "mean_valence_acc"))
         assert len(payload["per_subject_arousal"]) == 3
 
+    @pytest.mark.slow
+    def test_vloso_save_resume(self, tmp_path):
+        """--save-state then --resume: the state file round-trips through
+        the CLI (full-state resume wiring)."""
+        state = tmp_path / "state.msgpack"
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "vloso", "--epochs", "1",
+            "--save-state", str(state),
+            "--results-json", str(res),
+        ))
+        assert state.exists()
+        _run(_tiny(
+            "vloso", "--epochs", "1",
+            "--resume", str(state),
+            "--results-json", str(res),
+        ))
+        _check_json(res, ("mean_arousal_acc", "mean_valence_acc"))
+
     def test_memhacl(self, tmp_path):
         res = tmp_path / "r.json"
         _run([

@@ -182,3 +182,46 @@ def test_bf16_compute_dtype(rng):
         np.asarray(x).dtype == np.float32
         for x in jax.tree.leaves(tr.params["model"])
     )
+
+
+@pytest.mark.slow
+class TestVLOSOResume:
+    def test_save_restore_roundtrip(self, rng, tmp_path):
+        """Full-state resume: a restored trainer continues bit-identically
+        (host epoch path) and via the fused program."""
+        arrays = _tiny_arrays(rng, n_subj=3)
+        a = _tiny_trainer(arrays, n_subj=3)
+        a.train_epoch()
+        path = a.save_state(str(tmp_path / "vloso.msgpack"))
+
+        b = _tiny_trainer(arrays, n_subj=3)
+        b.restore_state(path)
+        for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(
+            jax.tree.leaves(a.opt_state), jax.tree.leaves(b.opt_state)
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        # identical continuation: host-plan epoch (host RNG restored) ...
+        ma = a.train_epoch()
+        mb = b.train_epoch()
+        np.testing.assert_allclose(ma["loss"], mb["loss"], rtol=1e-6)
+        # ... and the fused multi-epoch program (_fused_key restored)
+        fa = a.train_epochs_fused(2)
+        fb = b.train_epochs_fused(2)
+        np.testing.assert_allclose(fa["loss"], fb["loss"], rtol=1e-6)
+
+    def test_subject_variables_slice(self, rng, tmp_path):
+        arrays = _tiny_arrays(rng, n_subj=3)
+        t = _tiny_trainer(arrays, n_subj=3)
+        v = t.subject_variables(1)
+        ref = jax.tree.leaves(t.params["model"])[0]
+        got = jax.tree.leaves(v["params"])[0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref)[1])
+        # sliced variables drive a plain model.apply (Tester/serving payload)
+        out = t.model.apply(
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+            arrays["eeg"][:2], arrays["eye"][:2], arrays["pps"][:2],
+        )
+        assert np.isfinite(np.asarray(out[0])).all()

@@ -195,3 +195,44 @@ class TestVectorizedPhased:
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb)[:N_SUBJECTS], atol=2e-5
         )
+
+
+@pytest.mark.slow
+class TestVPhasedResume:
+    def test_save_restore_roundtrip(self, tiny_model, full_ds, tmp_path):
+        """Phase-boundary resume: a restored trainer finishes the
+        curriculum exactly like the original would."""
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            VectorizedPhasedTrainer,
+        )
+
+        kw = dict(batch_size=16, seed=SEED, verbose=False)
+        a = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, **kw
+        )
+        a.run_phase("eeg", 2)
+        path = a.save_state(str(tmp_path / "vphased.msgpack"))
+
+        b = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, **kw
+        )
+        b.restore_state(path)
+        for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert len(b.metrics["train"]["loss"]) == 2
+        np.testing.assert_array_equal(
+            b.metrics["train"]["loss"][-1], a.metrics["train"]["loss"][-1]
+        )
+        np.testing.assert_array_equal(
+            b._last_test["a_acc"], a._last_test["a_acc"]
+        )
+
+        # identical continuation through the next phase (host RNGs +
+        # dropout keys restored)
+        ra = a.run_phase("fusion_arousal", 1)
+        rb = b.run_phase("fusion_arousal", 1)
+        np.testing.assert_allclose(ra["loss"], rb["loss"], rtol=1e-6)
+        deltas = jax.tree.map(
+            lambda x, y: float(jnp.max(jnp.abs(x - y))), a.params, b.params
+        )
+        assert max(jax.tree.leaves(deltas)) == 0.0
