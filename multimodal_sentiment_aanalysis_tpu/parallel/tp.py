@@ -33,9 +33,13 @@ Placement rules (:func:`param_partition_specs`), per module family:
 - LayerNorm / scalars / anything whose dim does not divide ``tp``:
   replicated ``P()``.
 
-Optimizer state needs no rule table: init it *inside* ``jit`` from the
-sharded params (``jax.jit(tx.init)(sharded_params)``) and GSPMD gives
-the moments the params' layout automatically.
+There is deliberately no step-builder here: commit the inputs (params
+via :func:`shard_by_specs`, optimizer state via a jitted ``tx.init`` on
+the sharded params — GSPMD gives the moments the params' layout
+automatically — batch via :func:`batch_sharding`) and ``jax.jit`` the
+unchanged step function; jit reads the placements off the arguments,
+and outputs inherit them, so the state stays sharded across steps with
+no host round-trip.
 
 Pallas note: the fused kernels dispatch only on the TPU backend at
 whole-array shapes; under TP the per-device shards flow through the jnp
@@ -160,24 +164,6 @@ def shard_by_specs(mesh: Mesh, tree: Any, specs: Any) -> Any:
         specs,
         is_leaf=lambda x: x is None,
     )
-
-
-def make_tp_train_step(
-    step_fn,
-    mesh: Mesh,
-    data_axis: str = "data",
-):
-    """GSPMD-jit a step over the 2-D mesh.
-
-    ``step_fn(state_tree, batch) -> (state_tree, metrics)`` exactly as in
-    :func:`..parallel.dp.gspmd_jit_step`; inputs must be committed (via
-    :func:`shard_by_specs` for params / a jitted ``tx.init`` for the
-    optimizer state / :func:`batch_sharding` for the batch) — jit then
-    reads the placements off the arguments and GSPMD inserts the
-    collectives. Outputs inherit the inputs' layout, so the state stays
-    sharded across steps with no host round-trip.
-    """
-    return jax.jit(step_fn)
 
 
 def batch_sharding(mesh: Mesh, batch: Mapping[str, Any], data_axis: str = "data"):
