@@ -520,6 +520,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="global NaN tripwire: any op producing NaN raises "
                         "(whole-program analog of the reference's per-batch "
                         "NaN guards)")
+    p.add_argument("--preflight", action="store_true",
+                   help="validate the fused-kernel composition in a "
+                        "disposable subprocess before training, walking the "
+                        "mitigation ladder on a fault (costs one extra "
+                        "compile; see utils/preflight.py)")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -632,6 +637,17 @@ def main(argv: list[str] | None = None) -> None:
         from .utils import enable_nan_debugging
 
         enable_nan_debugging(True)
+    if getattr(args, "preflight", False):
+        from .utils.preflight import ensure_safe_dispatch
+
+        win, _ = ensure_safe_dispatch()
+        if win is None:
+            print("preflight: no mitigation rung passed — aborting "
+                  "(not a kernel-dispatch problem)", file=sys.stderr)
+            raise SystemExit(1)
+        if win:
+            print(f"preflight: running with mitigations {win}",
+                  file=sys.stderr)
     args.fn(args)
 
 

@@ -164,7 +164,12 @@ backward), or ``MSA_LSTM_XPROJ=0`` (v5). Conclusion: an XLA-schedule-
 dependent runtime interaction (likely in the tunnel/Mosaic runtime)
 outside the kernel's own code. Mitigations if a NEW composition hits
 it: the ``MSA_FUSED_LSTM=0`` env kill switch, or
-``ops.rnn.enable_fused_dispatch(False)``.
+``ops.rnn.enable_fused_dispatch(False)``. To validate a new composition
+BEFORE committing to a long run (a device fault poisons the client
+process), use the subprocess canary harness
+``utils/preflight.py::ensure_safe_dispatch`` / the CLI ``--preflight``
+flag — it walks the mitigation ladder above in disposable subprocesses
+and applies the first clean rung.
 """
 
 from __future__ import annotations

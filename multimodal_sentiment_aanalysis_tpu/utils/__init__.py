@@ -9,6 +9,9 @@ from .profiling import (
     dump_hlo,
     enable_nan_debugging,
 )
+# NOTE: utils.preflight is deliberately NOT imported here — it is also a
+# runnable module (python -m ...utils.preflight), and an eager package
+# import would shadow runpy's fresh execution with a sys.modules warning.
 
 __all__ = [
     "save_checkpoint",
