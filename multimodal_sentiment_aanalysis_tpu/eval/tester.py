@@ -41,7 +41,19 @@ class Tester:
 
     # ------------------------------------------------------------------
     def load_model(self, model_path: str) -> None:
-        """Load a checkpoint into the model's variable structure."""
+        """Load a checkpoint into the model's variable structure.
+
+        ``.pt``/``.pth`` paths are treated as reference torch
+        ``state_dict`` checkpoints and converted via
+        :mod:`..models.torch_import` (migration path: trained reference
+        models evaluate here without retraining); anything else is this
+        framework's msgpack format."""
+        if model_path.endswith((".pt", ".pth")):
+            from ..models.torch_import import load_torch_checkpoint
+
+            self.variables = load_torch_checkpoint(model_path)
+            print(f"Loaded torch reference weights from {model_path}")
+            return
         if self.variables is None:
             sample = {k: v[:1] for k, v in self.test_data.arrays.items()}
             self.variables = self.model.init(

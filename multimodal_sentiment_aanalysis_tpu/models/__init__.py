@@ -16,6 +16,10 @@ from .simclr import (
     Classifier,
 )
 from .memhacl import MEMHACLEncoder, MEMHACLClassifier
+from .torch_import import (
+    variables_from_torch_state_dict,
+    load_torch_checkpoint,
+)
 
 __all__ = [
     "PositionalEncoding",
@@ -33,4 +37,6 @@ __all__ = [
     "Classifier",
     "MEMHACLEncoder",
     "MEMHACLClassifier",
+    "variables_from_torch_state_dict",
+    "load_torch_checkpoint",
 ]
