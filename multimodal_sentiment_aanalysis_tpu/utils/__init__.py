@@ -1,5 +1,6 @@
 from .checkpoint import save_checkpoint, load_checkpoint, strip_module_prefix
 from .seeding import seed_all
+from .checks import checkified
 from .schedule import ReduceLROnPlateau, EarlyStopping
 from .profiling import (
     timed,
@@ -18,6 +19,7 @@ __all__ = [
     "load_checkpoint",
     "strip_module_prefix",
     "seed_all",
+    "checkified",
     "ReduceLROnPlateau",
     "EarlyStopping",
     "timed",
