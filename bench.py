@@ -49,16 +49,20 @@ import time
 
 import numpy as np
 
-# Best-effort persistent XLA compilation cache. The remote TPU compile of
-# the fp32 fused program varies from 3 to 16 minutes run to run; on a
-# backend with local PJRT compilation this makes repeat benchmarks hit a
-# disk cache. (The axon tunnel compiles server-side and bypasses it —
-# verified: no cache files appear — but it is harmless there and helps
-# any locally-compiled environment.)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+# Persistent XLA compilation cache. The remote TPU compile of the fp32
+# fused program varies from 3 to 16 minutes run to run; the cache makes a
+# repeat benchmark of an unchanged program skip the compile (probe over
+# the axon tunnel 2026-08-18: 138 s first process -> 0.62 s warm — the
+# jax.config route works where the JAX_COMPILATION_CACHE_DIR env var was
+# observed not to; see utils/compilation_cache.py). MSA_COMPILE_CACHE=0
+# opts out for clean-compile measurement runs.
+from multimodal_sentiment_aanalysis_tpu.utils.compilation_cache import (
+    cache_enabled_by_env as _cache_on,
+    enable_compilation_cache as _enable_cache,
+)
+
+if _cache_on():
+    _enable_cache()
 
 BASELINE_SAMPLES_PER_SEC = 33.5  # reference end-to-end LOSO training rate
 BATCH = 64

@@ -516,6 +516,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="force a JAX platform (the TPU plugin ignores "
                         "JAX_PLATFORMS; this sets the config flag before "
                         "backend init)")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(on by default: repeat invocations of the same "
+                        "program skip the multi-minute TPU compile; see "
+                        "utils/compilation_cache.py)")
     p.add_argument("--debug-nans", action="store_true",
                    help="global NaN tripwire: any op producing NaN raises "
                         "(whole-program analog of the reference's per-batch "
@@ -633,6 +638,18 @@ def main(argv: list[str] | None = None) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # Persistent compile cache: default-on except under a forced-CPU probe
+    # (CPU compiles take seconds, and XLA:CPU's AOT reloads log noisy
+    # machine-feature warnings; the multi-minute compiles this saves are
+    # all on the TPU path).
+    if not getattr(args, "no_compile_cache", False) and args.platform != "cpu":
+        from .utils.compilation_cache import (
+            cache_enabled_by_env,
+            enable_compilation_cache,
+        )
+
+        if cache_enabled_by_env():
+            enable_compilation_cache()
     if getattr(args, "debug_nans", False):
         from .utils import enable_nan_debugging
 

@@ -1,4 +1,9 @@
 from .checkpoint import save_checkpoint, load_checkpoint, strip_module_prefix
+from .compilation_cache import (
+    enable_compilation_cache,
+    disable_compilation_cache,
+    cache_enabled_by_env,
+)
 from .seeding import seed_all
 from .checks import checkified
 from .schedule import ReduceLROnPlateau, EarlyStopping
@@ -18,6 +23,9 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "strip_module_prefix",
+    "enable_compilation_cache",
+    "disable_compilation_cache",
+    "cache_enabled_by_env",
     "seed_all",
     "checkified",
     "ReduceLROnPlateau",

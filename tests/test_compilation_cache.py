@@ -1,0 +1,72 @@
+"""Persistent XLA compilation cache (utils/compilation_cache.py).
+
+Net-new subsystem (no reference counterpart — eager PyTorch pays no
+compile). The hardware win is cross-process (138 s -> 0.62 s over the
+axon tunnel, 2026-08-18); here we verify the single-process observable
+contract: config flags are set/unset, the env opt-out is honored, and a
+compiled program actually lands entries in the cache directory.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_sentiment_aanalysis_tpu.utils.compilation_cache import (
+    DEFAULT_CACHE_DIR,
+    cache_enabled_by_env,
+    disable_compilation_cache,
+    enable_compilation_cache,
+)
+
+
+def test_enable_sets_config_and_disable_clears(tmp_path):
+    d = str(tmp_path / "xla")
+    try:
+        got = enable_compilation_cache(d, min_compile_secs=0.0)
+        assert got == d and os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+        # cache failures must degrade to a recompile, never an error
+        assert jax.config.jax_raise_persistent_cache_errors is False
+    finally:
+        disable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir is None
+
+
+def test_env_var_default_dir(tmp_path, monkeypatch):
+    d = str(tmp_path / "from-env")
+    monkeypatch.setenv("MSA_COMPILE_CACHE_DIR", d)
+    try:
+        assert enable_compilation_cache() == d
+    finally:
+        disable_compilation_cache()
+
+
+def test_env_opt_out(monkeypatch):
+    monkeypatch.delenv("MSA_COMPILE_CACHE", raising=False)
+    assert cache_enabled_by_env()
+    monkeypatch.setenv("MSA_COMPILE_CACHE", "0")
+    assert not cache_enabled_by_env()
+    monkeypatch.setenv("MSA_COMPILE_CACHE", "1")
+    assert cache_enabled_by_env()
+
+
+def test_compile_writes_cache_entries(tmp_path):
+    d = str(tmp_path / "xla")
+    try:
+        enable_compilation_cache(d, min_compile_secs=0.0)
+
+        @jax.jit
+        def fn(x):
+            return jnp.tanh(x @ x.T).sum()
+
+        fn(jnp.ones((17, 17), jnp.float32)).block_until_ready()
+        entries = os.listdir(d)
+        assert entries, "no cache entries written for a fresh compile"
+    finally:
+        disable_compilation_cache()
+
+
+def test_default_dir_is_user_scoped():
+    assert DEFAULT_CACHE_DIR.startswith(os.path.expanduser("~"))
