@@ -1,5 +1,6 @@
 from .tester import Tester
 from .serving import build_serving_forward
+from .export import export_serving, load_serving
 from .reporting import (
     Myreport,
     plot_progress,
@@ -12,6 +13,8 @@ from .reporting import (
 __all__ = [
     "Tester",
     "build_serving_forward",
+    "export_serving",
+    "load_serving",
     "Myreport",
     "plot_progress",
     "plot_confusion_matrix",

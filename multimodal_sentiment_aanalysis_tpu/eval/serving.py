@@ -97,7 +97,7 @@ def _bn_trunk(p, stats, x):
 def _subnetwork(p, x, feat_dim):
     """Eye/PPS Subnetwork eval forward with collapsed seq-1 attention."""
     h = _dense(p["proj"], x)
-    h = h + make_sincos_pe(feat_dim, 1)[0]  # PE row 0
+    h = h + make_sincos_pe(feat_dim, 1)[0].astype(h.dtype)  # PE row 0
     t = p["transformer"]
     for li in range(2):
         lp = t[f"layers_{li}"]
@@ -120,6 +120,9 @@ def _eeg_stem(p, stats, x, use_pallas: bool):
     """EEG encoder eval forward; conv stages via the fused kernel."""
     xt = jnp.transpose(x, (0, 2, 1))  # (B, T, C)
 
+    # rsqrt of the (strictly positive) running var is monotone and
+    # cancellation-free, so folding in the compute dtype is safe; the
+    # bf16 mode's argmax agreement vs fp32 is pinned by tests/serve_sweep
     s1, h1 = fold_bn(
         p["bn1"]["scale"], p["bn1"]["bias"],
         stats["bn1"]["mean"], stats["bn1"]["var"],
@@ -159,16 +162,42 @@ def _eeg_stem(p, stats, x, use_pallas: bool):
 
 
 def build_serving_forward(variables: dict, feat_dim: int = 256,
-                          use_pallas: bool | None = None):
+                          use_pallas: bool | None = None,
+                          compute_dtype=None):
     """Jitted eval forward ``(eeg, eye, pps) -> (arousal, valence)`` from a
-    trained variables dict (params + batch_stats)."""
+    trained variables dict (params + batch_stats).
+
+    ``compute_dtype=jnp.bfloat16`` runs the whole forward at native MXU
+    rate: weights/stats are cast once at build time, inputs are cast per
+    call, logits return fp32. Latency-bound below B~128 so bf16 only
+    pays off at larger batches — numbers in the module docstring sweep
+    table.
+    """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    if compute_dtype is not None:
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+        params, stats = cast(params), cast(stats)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        # The serving stem kernel convolves IN-KERNEL via dynamic
+        # time-offset tap slices (pl.ds(k, t_conv)); with packed bf16
+        # Mosaic cannot prove the sublane-dim offset alignment and the
+        # kernel fails to compile ("cannot statically prove that index in
+        # dimension 1 is a multiple of 8", measured 2026-08-18). Low-
+        # precision serving therefore rides the XLA stem, where the
+        # folded affine+GELU+pool fuse into the conv output anyway.
+        use_pallas = False
 
     @jax.jit
     def forward(eeg, eye, pps):
+        if compute_dtype is not None:
+            eeg = eeg.astype(compute_dtype)
+            eye = eye.astype(compute_dtype)
+            pps = pps.astype(compute_dtype)
         eeg_feat = _eeg_stem(
             params["eeg_net"], stats["eeg_net"], eeg, use_pallas
         )
@@ -200,6 +229,9 @@ def build_serving_forward(variables: dict, feat_dim: int = 256,
             _bn_trunk(params["valence_head"]["trunk"],
                       stats["valence_head"]["trunk"], fused),
         )
+        if compute_dtype is not None:
+            arousal = arousal.astype(jnp.float32)
+            valence = valence.astype(jnp.float32)
         return arousal, valence
 
     return forward

@@ -160,7 +160,19 @@ def main():
                 body, (params, bs, opt, key), None, length=N_CHAIN)
             return params
 
-        return jax.jit(chained)
+        return jax.jit(chained, compiler_options=compiler_options)
+
+    # --compiler-options=key=val,key=val passthrough (XLA DebugOptions
+    # names, e.g. xla_tpu_scoped_vmem_limit_kib=65536) for A/B'ing
+    # compiler knobs on the REAL step program
+    compiler_options = None
+    for a in sys.argv:
+        if a.startswith("--compiler-options="):
+            compiler_options = {}
+            for kv in a.split("=", 1)[1].split(","):
+                k, v = kv.split("=", 1)
+                compiler_options[k] = v
+            print("compiler_options:", compiler_options, flush=True)
 
     idx = jnp.tile(jnp.arange(BATCH, dtype=jnp.int32)[None], (S, 1))
     args0 = (trainer.params, trainer.batch_stats, trainer.opt_state,

@@ -52,10 +52,21 @@ def main():
         jax.random.key(0), arrays["eeg"][:2], arrays["eye"][:2],
         arrays["pps"][:2],
     )
-    fwd = build_serving_forward(
-        {"params": variables["params"],
+    v = {"params": variables["params"],
          "batch_stats": variables.get("batch_stats", {})}
-    )
+    fwd = build_serving_forward(v)
+    if "--bf16" in sys.argv:
+        fwd32 = fwd
+        fwd = build_serving_forward(v, compute_dtype=jnp.bfloat16)
+        # argmax agreement vs the fp32 forward on one big batch
+        probe = {k: a[:256] for k, a in ds.arrays.items()}
+        a32, v32 = fwd32(probe["eeg"], probe["eye"], probe["pps"])
+        a16, v16 = fwd(probe["eeg"], probe["eye"], probe["pps"])
+        agree = float(np.mean(
+            (np.argmax(a32, -1) == np.argmax(a16, -1))
+            & (np.argmax(v32, -1) == np.argmax(v16, -1))))
+        print(f"bf16 argmax agreement vs fp32 (B=256): {agree:.4f}",
+              flush=True)
     pool = ds.arrays
     rng = np.random.default_rng(3)
 
