@@ -11,6 +11,9 @@ TPU-native rebuild of the reference's L5 entry points (SURVEY.md §1):
 - ``eval``    — checkpoint evaluation with classification report + confusion
   matrices (reference ``main.py:34-49`` -> ``Tester``)
 - ``inspect`` — first-batch shape sanity check (reference ``printData.py:21-31``)
+- ``export``  — checkpoint -> self-contained StableHLO serving artifact
+  (net-new deployment path; the reference can only re-load ``.pth`` into
+  the Python model class, ``Tester.py:29-35``)
 
 Every subcommand accepts ``--synthetic`` (deterministic generated dataset
 with the reference pickle schema) or ``--data /path/to/hci_data.pkl``.
@@ -472,6 +475,61 @@ def cmd_eval(args) -> None:
     })
 
 
+def cmd_export(args) -> None:
+    """Export a checkpoint to a self-contained StableHLO serving artifact.
+
+    Deployment path the reference lacks (its serving story is re-loading a
+    ``.pth`` state_dict into the Python model class, ``Tester.py:29-35``):
+    the artifact bakes the weights into the lowered program and is callable
+    from any JAX process without this package (``eval.export.load_serving``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .eval.export import export_serving
+    from .models import MultimodalTransformerModel
+
+    arrays, _ = _load_arrays(args)
+    kw = _model_kwargs(args)
+    model = MultimodalTransformerModel(**kw)
+
+    sample = {k: v[:1] for k, v in arrays.items()}
+    variables = model.init(
+        jax.random.key(args.seed), sample["eeg"], sample["eye"], sample["pps"]
+    )
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    if args.model_path:
+        if args.model_path.endswith((".pt", ".pth")):
+            from .models.torch_import import load_torch_checkpoint
+
+            variables = load_torch_checkpoint(args.model_path)
+        else:
+            from .utils.checkpoint import load_checkpoint
+
+            variables = load_checkpoint(args.model_path, variables)
+        print(f"loaded checkpoint {args.model_path}")
+    else:
+        print("no --model-path: exporting freshly initialized weights "
+              "(smoke mode)")
+
+    schema = tuple(
+        (tuple(arrays[k].shape[1:]), jnp.float32) for k in ("eeg", "eye", "pps")
+    )
+    blob = export_serving(
+        variables, args.output,
+        batch_size=args.batch_size,
+        feat_dim=kw.get("feat_dim", 256),
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        input_schema=schema,
+        platforms=args.platforms.split(",") if args.platforms else None,
+    )
+    batch = "polymorphic" if args.batch_size is None else str(args.batch_size)
+    print(f"wrote {len(blob)} bytes to {args.output} "
+          f"(batch={batch}{', bf16' if args.bf16 else ''})")
+    _write_results(args, {"artifact_bytes": len(blob), "output": args.output})
+
+
 def cmd_inspect(args) -> None:
     """First-batch shape sanity check (reference printData.py:21-31)."""
     from .data import DeviceDataset
@@ -627,6 +685,28 @@ def main(argv: list[str] | None = None) -> None:
     _add_common(p)
     p.add_argument("--model-path", required=True)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser(
+        "export", help="export a checkpoint to a StableHLO serving artifact"
+    )
+    _add_common(p)
+    p.add_argument("--model-path", default=None,
+                   help="checkpoint to export (msgpack, or a reference "
+                        "torch .pt/.pth); freshly initialized weights if "
+                        "omitted (smoke mode)")
+    p.add_argument("--output", required=True,
+                   help="artifact file to write (e.g. serving.shlo)")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="fix the batch dim (default: batch-polymorphic — "
+                        "one artifact serves any batch size)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bake bf16-cast weights into the artifact; logits "
+                        "return fp32")
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering platforms to bake in "
+                        "(e.g. cpu,tpu — ONE artifact then runs on both); "
+                        "default: the exporting process's backend only")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("inspect", help="first-batch shape sanity check")
     _add_common(p)

@@ -52,12 +52,21 @@ def export_serving(
     use_pallas: bool | None = None,
     compute_dtype=None,
     platforms=None,
+    input_schema=None,
 ) -> bytes:
     """Export the serving forward to a serialized StableHLO artifact.
 
     Returns the serialized bytes; also writes them to ``path`` if given.
     ``batch_size=None`` (default) exports batch-polymorphic.
+    ``input_schema`` overrides :data:`INPUT_SCHEMA` for non-default model
+    dims (e.g. the CLI's ``--tiny`` smoke shapes).
     """
+    if input_schema is None:
+        input_schema = INPUT_SCHEMA
+    if platforms is not None and (len(platforms) > 1 or "tpu" not in platforms):
+        # a Mosaic kernel call is only valid in a TPU-only lowering; any
+        # portable artifact must trace the XLA stem
+        use_pallas = False
     if batch_size is None:
         (b,) = jax_export.symbolic_shape("b")
         use_pallas = False  # symbolic dims need the XLA stem
@@ -69,7 +78,7 @@ def export_serving(
     )
     args = tuple(
         jax.ShapeDtypeStruct((b, *shape), dtype)
-        for shape, dtype in INPUT_SCHEMA
+        for shape, dtype in input_schema
     )
     exported = jax_export.export(fwd, platforms=platforms)(*args)
     blob = exported.serialize()

@@ -178,3 +178,27 @@ class TestCLISmoke:
             "--results-json", str(res),
         ))
         _check_json(res, ("arousal_accuracy", "valence_accuracy"))
+
+    def test_export_artifact(self, tmp_path):
+        """export writes a batch-polymorphic StableHLO artifact that loads
+        and runs without the model code (fresh-init smoke)."""
+        from multimodal_sentiment_aanalysis_tpu.eval.export import (
+            load_serving,
+        )
+
+        out = tmp_path / "serving.shlo"
+        res = tmp_path / "r.json"
+        _run(_tiny("export", "--output", str(out),
+                   "--results-json", str(res)))
+        payload = _check_json(res, ())
+        assert payload["artifact_bytes"] == out.stat().st_size
+
+        rng = np.random.default_rng(0)
+        a, v = load_serving(str(out))(
+            rng.normal(size=(5, 32, 64)).astype(np.float32),
+            rng.normal(size=(5, 38)).astype(np.float32),
+            rng.normal(size=(5, 230)).astype(np.float32),
+        )
+        assert np.asarray(a).shape == (5, 3)
+        assert np.asarray(v).shape == (5, 3)
+        assert np.isfinite(np.asarray(a)).all()
