@@ -58,6 +58,7 @@ def enable_compilation_cache(
     if cache_dir is None:
         cache_dir = os.environ.get("MSA_COMPILE_CACHE_DIR") or DEFAULT_CACHE_DIR
     os.makedirs(cache_dir, exist_ok=True)
+    _reset_cache_singleton(cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", float(min_compile_secs)
@@ -70,10 +71,24 @@ def enable_compilation_cache(
     return cache_dir
 
 
+def _reset_cache_singleton(new_dir: str | None) -> None:
+    """Drop JAX's lazily initialized cache object if it is pinned to a
+    different directory. JAX binds the persistent cache to the first dir
+    it initializes with; a later ``jax_compilation_cache_dir`` update is
+    silently ignored by the live singleton, so switching dirs (or
+    re-enabling after disable) needs an explicit reset."""
+    from jax._src import compilation_cache as _cc
+
+    current = getattr(getattr(_cc, "_cache", None), "_path", None)
+    if current is not None and str(current) != new_dir:
+        _cc.reset_cache()
+
+
 def disable_compilation_cache() -> None:
     """Stop persisting compiles (in-memory jit caching is unaffected)."""
     import jax
 
+    _reset_cache_singleton(None)
     jax.config.update("jax_compilation_cache_dir", None)
 
 

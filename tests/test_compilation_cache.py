@@ -70,3 +70,30 @@ def test_compile_writes_cache_entries(tmp_path):
 
 def test_default_dir_is_user_scoped():
     assert DEFAULT_CACHE_DIR.startswith(os.path.expanduser("~"))
+
+
+def test_dir_switch_repoints_live_cache(tmp_path):
+    """JAX pins its cache singleton to the first dir; enable() must
+    re-point it (regression: CLI tests enabling the default dir made a
+    later tmp-dir enable a silent no-op)."""
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    try:
+        enable_compilation_cache(d1, min_compile_secs=0.0)
+
+        @jax.jit
+        def f(x):
+            return jnp.sin(x @ x.T).sum()
+
+        f(jnp.ones((13, 13), jnp.float32)).block_until_ready()
+        assert os.listdir(d1)
+
+        enable_compilation_cache(d2, min_compile_secs=0.0)
+
+        @jax.jit
+        def g(x):
+            return jnp.cos(x @ x.T).sum()
+
+        g(jnp.ones((19, 19), jnp.float32)).block_until_ready()
+        assert os.listdir(d2), "cache still writing to the first dir"
+    finally:
+        disable_compilation_cache()
