@@ -31,14 +31,23 @@ import numpy as np
 N_CHAIN = 30
 
 
+def _sync(out):
+    """Completion barrier via host transfer of one output leaf
+    (jax.block_until_ready is NOT reliable over the axon tunnel; see
+    scripts/profile_stem.py)."""
+    import numpy as _np
+
+    _np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+
+
 def timed(fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best
 

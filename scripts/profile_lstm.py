@@ -19,14 +19,23 @@ S, B, T, I, H = 24, 64, 73, 256, 128
 N_CHAIN = 30
 
 
+def _sync(out):
+    """Completion barrier via host transfer of one output leaf
+    (jax.block_until_ready is NOT reliable over the axon tunnel; see
+    scripts/profile_stem.py)."""
+    import numpy as _np
+
+    _np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+
+
 def timed(fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 
@@ -105,7 +114,7 @@ def main():
 
     tr = build()
     tr.train_epoch()  # compile
-    t0 = time.perf_counter(); tr.train_epoch(); jax.block_until_ready(tr.params)
+    t0 = time.perf_counter(); tr.train_epoch(); _sync(tr.params)
     full_epoch = time.perf_counter() - t0
     nb = tr.train_idx.shape[1] // B
     print(f"full train epoch: {full_epoch * 1e3:.1f} ms ({nb} steps -> "
@@ -126,7 +135,7 @@ def main():
     try:
         tr2 = build()
         tr2.train_epoch()
-        t0 = time.perf_counter(); tr2.train_epoch(); jax.block_until_ready(tr2.params)
+        t0 = time.perf_counter(); tr2.train_epoch(); _sync(tr2.params)
         abl_epoch = time.perf_counter() - t0
         print(f"LSTM-ablated epoch: {abl_epoch * 1e3:.1f} ms "
               f"({abl_epoch / nb * 1e3:.2f} ms/step)", flush=True)
