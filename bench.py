@@ -276,23 +276,26 @@ def bench_serving(trainer, ds, peak):
     fwd = build_serving_forward(variables)
     arrays = ds.arrays
 
-    @jax.jit
-    def serve_many(idxs):  # (K, B) -> per-batch argmax predictions
-        def body(_, idx):
-            a, v = fwd(
-                jnp.take(arrays["eeg"], idx, axis=0),
-                jnp.take(arrays["eye"], idx, axis=0),
-                jnp.take(arrays["pps"], idx, axis=0),
-            )
-            return None, (a.argmax(-1), v.argmax(-1))
+    def build_serve_many(f):
+        @jax.jit
+        def serve_many(idxs):  # (K, B) -> per-batch argmax predictions
+            def body(_, idx):
+                a, v = f(
+                    jnp.take(arrays["eeg"], idx, axis=0),
+                    jnp.take(arrays["eye"], idx, axis=0),
+                    jnp.take(arrays["pps"], idx, axis=0),
+                )
+                return None, (a.argmax(-1), v.argmax(-1))
 
-        return jax.lax.scan(body, None, idxs)[1]
+            return jax.lax.scan(body, None, idxs)[1]
+
+        return serve_many
 
     rng = np.random.default_rng(3)
     plan = lambda: jnp.asarray(
         rng.integers(0, ds.n, (SERVE_K, BATCH)).astype(np.int32)
     )
-    lowered = serve_many.lower(plan())
+    lowered = build_serve_many(fwd).lower(plan())
     t0 = time.perf_counter()
     compiled = lowered.compile()
     log(f"  compile: {time.perf_counter() - t0:.1f}s")
@@ -321,7 +324,24 @@ def bench_serving(trainer, ds, peak):
     log(f"  {SERVE_K} batches of {BATCH} in {elapsed:.3f}s -> "
         f"{lat_ms:.3f} ms/batch, {sps:.0f} samples/s"
         + (f", MFU {mfu:.2%}" if mfu is not None else ""))
-    return lat_ms, sps, mfu
+
+    # bf16 throughput config at the deployment-recommended batch (the
+    # forward is latency-bound below B~128; bf16 wins from B=512 up —
+    # sweep table in eval/serving.py)
+    B16 = 512
+    fwd16 = build_serving_forward(variables, compute_dtype=jnp.bfloat16)
+    serve16 = build_serve_many(fwd16)
+    plan16 = lambda: jnp.asarray(
+        rng.integers(0, ds.n, (SERVE_K, B16)).astype(np.int32))
+    _sync(serve16(plan16()))  # compile + warm-up
+    t0 = time.perf_counter()
+    out = serve16(plan16())
+    _sync(out)
+    e16 = time.perf_counter() - t0
+    sps16 = SERVE_K * B16 / e16
+    log(f"  bf16 B={B16}: {SERVE_K} batches in {e16:.3f}s -> "
+        f"{e16 / SERVE_K * 1e3:.3f} ms/batch, {sps16:.0f} samples/s")
+    return lat_ms, sps, mfu, sps16
 
 
 def main() -> None:
@@ -393,11 +413,13 @@ def main() -> None:
 
     log("[4/4] serving forward")
     try:
-        lat_ms, serve_sps, serve_mfu = bench_serving(trainer, ds, peak)
+        lat_ms, serve_sps, serve_mfu, serve_sps16 = bench_serving(
+            trainer, ds, peak)
         extra["serving_latency_ms_b64"] = round(lat_ms, 3)
         extra["serving_samples_per_sec"] = round(serve_sps, 1)
         if serve_mfu is not None:
             extra["serving_mfu"] = round(serve_mfu, 4)
+        extra["serving_bf16_b512_samples_per_sec"] = round(serve_sps16, 1)
     except Exception as e:
         log(f"  serving config failed: {e!r}")
 

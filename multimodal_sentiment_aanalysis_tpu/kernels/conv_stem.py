@@ -13,6 +13,18 @@ training keeps the jnp stem where BN batch stats and dropout RNG live.
 
 A/B parity test: ``tests/test_kernels.py`` compares against the eval-mode
 jnp stem stage.
+
+MEASURED NEGATIVE in the serving composition (scripts/serve_sweep.py,
+v5e, 2026-08-18): the end-to-end serving forward with this kernel loses
+to the plain XLA stem at EVERY batch size — 1.257 vs 0.835 ms/batch at
+B=64 (1.5x), 3.419 vs 1.232 at B=256 (2.8x), worsening with batch. In
+eval mode XLA already fuses the folded affine+GELU into the conv output
+and tiles the batch dimension freely, while this kernel's
+batch-in-sublanes grid pays a relayout per stage; the HBM round-trip it
+removes does not dominate at serving shapes. ``eval/serving.py``
+therefore defaults to the XLA stem (``use_pallas=False``); the kernel
+stays opt-in and parity-tested. (The TRAIN-mode stem fusion is a
+different kernel and a measured e2e WIN — ``conv_stem_train.py``.)
 """
 
 from __future__ import annotations

@@ -19,6 +19,14 @@ import numpy as np
 SERVE_K = 100
 BATCHES = (8, 32, 64, 128, 256, 512)
 
+# --batches=1024,2048 overrides the sweep points. --pallas-stem /
+# --xla-stem force the fp32 forward's stem (default follows
+# build_serving_forward: XLA, after the 2026-08-18 A/B found the Pallas
+# serving stem loses at every batch size — table in eval/serving.py).
+for _a in sys.argv:
+    if _a.startswith("--batches="):
+        BATCHES = tuple(int(x) for x in _a.split("=", 1)[1].split(","))
+
 
 def main():
     from multimodal_sentiment_aanalysis_tpu.data import (
@@ -54,7 +62,9 @@ def main():
     )
     v = {"params": variables["params"],
          "batch_stats": variables.get("batch_stats", {})}
-    fwd = build_serving_forward(v)
+    fwd = build_serving_forward(
+        v, use_pallas=True if "--pallas-stem" in sys.argv
+        else (False if "--xla-stem" in sys.argv else None))
     if "--bf16" in sys.argv:
         fwd32 = fwd
         fwd = build_serving_forward(v, compute_dtype=jnp.bfloat16)
