@@ -89,12 +89,29 @@ def main():
     )
     S = trainer.n_total
 
+    from multimodal_sentiment_aanalysis_tpu.train.state import cast_floating
+
+    bf16 = "--bf16" in sys.argv  # profile the bf16-compute step instead
+    if bf16:
+        print("compute dtype: bfloat16 (fp32 master params)", flush=True)
+
     def variant_step(dropout: bool, contrastive: bool, update: bool,
                      backward: bool, train_mode: bool = True):
         model = (MultimodalTransformerModel() if dropout
                  else MultimodalTransformerModel(dropout=0.0))
 
+        def _cast(params, batch):
+            if not bf16:
+                return params, batch
+            params = {"model": cast_floating(params["model"], jnp.bfloat16),
+                      "trainer": params["trainer"]}
+            batch = dict(batch)
+            for k in ("eeg", "eye", "pps"):
+                batch[k] = batch[k].astype(jnp.bfloat16)
+            return params, batch
+
         def loss_fn(params, batch_stats, batch, key):
+            params, batch = _cast(params, batch)
             if not train_mode:
                 outs = model.apply(
                     {"params": params["model"], "batch_stats": batch_stats},
@@ -103,7 +120,7 @@ def main():
                             batch["mask"]),
                     train=False,
                 )
-                a, v, c1, c2, c3 = outs
+                a, v, c1, c2, c3 = (x.astype(jnp.float32) for x in outs)
                 loss = (masked_cross_entropy(a, batch["arousal"],
                                              batch["mask"])
                         + masked_cross_entropy(v, batch["valence"],
@@ -119,13 +136,16 @@ def main():
                 train=True, mutable=["batch_stats"],
                 rngs={"dropout": key},
             )
-            a, v, c1, c2, c3 = outs
+            a, v, c1, c2, c3 = (x.astype(jnp.float32) for x in outs)
             loss = (masked_cross_entropy(a, batch["arousal"], batch["mask"])
                     + masked_cross_entropy(v, batch["valence"], batch["mask"]))
             if contrastive:
                 loss = loss + params["trainer"]["contrastive_weight"][0] * (
                     c1 + c2 + c3)
-            return loss, mutated["batch_stats"]
+            new_bs = mutated["batch_stats"]
+            if bf16:  # mirror the trainer: BN stats accumulate in fp32
+                new_bs = cast_floating(new_bs, jnp.float32)
+            return loss, new_bs
 
         def one(params, bs, opt, key, idx):
             batch = {k: jnp.take(v, idx, axis=0)
