@@ -80,14 +80,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _sync(tree) -> None:
-    """Force completion via a host transfer of one leaf:
-    jax.block_until_ready can be a no-op over the axon tunnel (measured in
-    round 3 — it returned in 0.3 ms on work that took seconds), so every
-    timing boundary here pulls a value to host instead."""
-    import jax
-
-    np.asarray(jax.tree.leaves(tree)[0]).ravel()[0]
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 import contextlib
@@ -327,20 +320,25 @@ def bench_serving(trainer, ds, peak):
 
     # bf16 throughput config at the deployment-recommended batch (the
     # forward is latency-bound below B~128; bf16 wins from B=512 up —
-    # sweep table in eval/serving.py)
-    B16 = 512
-    fwd16 = build_serving_forward(variables, compute_dtype=jnp.bfloat16)
-    serve16 = build_serve_many(fwd16)
-    plan16 = lambda: jnp.asarray(
-        rng.integers(0, ds.n, (SERVE_K, B16)).astype(np.int32))
-    _sync(serve16(plan16()))  # compile + warm-up
-    t0 = time.perf_counter()
-    out = serve16(plan16())
-    _sync(out)
-    e16 = time.perf_counter() - t0
-    sps16 = SERVE_K * B16 / e16
-    log(f"  bf16 B={B16}: {SERVE_K} batches in {e16:.3f}s -> "
-        f"{e16 / SERVE_K * 1e3:.3f} ms/batch, {sps16:.0f} samples/s")
+    # sweep table in eval/serving.py). Its own try: a failure here must
+    # not discard the fp32 metrics already measured above.
+    sps16 = None
+    try:
+        B16 = 512
+        fwd16 = build_serving_forward(variables, compute_dtype=jnp.bfloat16)
+        serve16 = build_serve_many(fwd16)
+        plan16 = lambda: jnp.asarray(
+            rng.integers(0, ds.n, (SERVE_K, B16)).astype(np.int32))
+        _sync(serve16(plan16()))  # compile + warm-up
+        t0 = time.perf_counter()
+        out = serve16(plan16())
+        _sync(out)
+        e16 = time.perf_counter() - t0
+        sps16 = SERVE_K * B16 / e16
+        log(f"  bf16 B={B16}: {SERVE_K} batches in {e16:.3f}s -> "
+            f"{e16 / SERVE_K * 1e3:.3f} ms/batch, {sps16:.0f} samples/s")
+    except Exception as e:
+        log(f"  bf16 serving config failed: {e!r}")
     return lat_ms, sps, mfu, sps16
 
 
@@ -419,7 +417,8 @@ def main() -> None:
         extra["serving_samples_per_sec"] = round(serve_sps, 1)
         if serve_mfu is not None:
             extra["serving_mfu"] = round(serve_mfu, 4)
-        extra["serving_bf16_b512_samples_per_sec"] = round(serve_sps16, 1)
+        if serve_sps16 is not None:
+            extra["serving_bf16_b512_samples_per_sec"] = round(serve_sps16, 1)
     except Exception as e:
         log(f"  serving config failed: {e!r}")
 

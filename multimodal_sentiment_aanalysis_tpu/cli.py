@@ -493,12 +493,15 @@ def cmd_export(args) -> None:
     kw = _model_kwargs(args)
     model = MultimodalTransformerModel(**kw)
 
-    sample = {k: v[:1] for k, v in arrays.items()}
-    variables = model.init(
-        jax.random.key(args.seed), sample["eeg"], sample["eye"], sample["pps"]
-    )
-    variables = {"params": variables["params"],
-                 "batch_stats": variables.get("batch_stats", {})}
+    def init_variables():
+        # template for msgpack restore / fresh-init export; torch
+        # checkpoints build variables from scratch and skip this compile
+        sample = {k: v[:1] for k, v in arrays.items()}
+        v = model.init(jax.random.key(args.seed),
+                       sample["eeg"], sample["eye"], sample["pps"])
+        return {"params": v["params"],
+                "batch_stats": v.get("batch_stats", {})}
+
     if args.model_path:
         if args.model_path.endswith((".pt", ".pth")):
             from .models.torch_import import load_torch_checkpoint
@@ -507,9 +510,10 @@ def cmd_export(args) -> None:
         else:
             from .utils.checkpoint import load_checkpoint
 
-            variables = load_checkpoint(args.model_path, variables)
+            variables = load_checkpoint(args.model_path, init_variables())
         print(f"loaded checkpoint {args.model_path}")
     else:
+        variables = init_variables()
         print("no --model-path: exporting freshly initialized weights "
               "(smoke mode)")
 

@@ -90,11 +90,16 @@ def export_serving(
 
 def load_serving(path_or_bytes):
     """Deserialize an exported artifact into ``(eeg, eye, pps) -> (arousal,
-    valence)``. Needs no model code — only jax."""
+    valence)``. Needs no model code — only jax.
+
+    The returned callable is jitted: ``Exported.call`` alone rebuilds a
+    fresh trace per invocation (milliseconds of host overhead, dwarfing
+    the sub-2-ms device time), so one jit wrapper caches the compiled
+    program per input shape."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         blob = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, "rb") as f:
             blob = f.read()
     exported = jax_export.deserialize(blob)
-    return lambda eeg, eye, pps: exported.call(eeg, eye, pps)
+    return jax.jit(lambda eeg, eye, pps: exported.call(eeg, eye, pps))

@@ -4,9 +4,10 @@ The training model (:class:`..models.MultimodalTransformerModel`) is defined
 for parity and differentiability; this module exports the same eval-mode
 math as a lean functional forward for deployment:
 
-- both EEG conv stages run through the fused Pallas
-  conv-BN-GELU-pool kernel with BatchNorm folded into a per-channel affine
-  (:mod:`..kernels.conv_stem`)
+- both EEG conv stages run with BatchNorm folded into a per-channel
+  affine; the stem is the plain XLA conv by default (the fused Pallas
+  serving kernel :mod:`..kernels.conv_stem` is a measured loss here —
+  conclusion 1 below — and stays opt-in via ``use_pallas=True``)
 - every sequence-length-1 attention site (the eye/pps ``Subnetwork``
   self-attention, reference ``MultimodalModel.py:83-105``, and both
   ``CrossModalTransformer`` blocks, ``:108-149``) is algebraically collapsed:

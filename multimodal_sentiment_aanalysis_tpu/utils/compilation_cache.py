@@ -79,8 +79,14 @@ def _reset_cache_singleton(new_dir: str | None) -> None:
     re-enabling after disable) needs an explicit reset."""
     from jax._src import compilation_cache as _cc
 
-    current = getattr(getattr(_cc, "_cache", None), "_path", None)
-    if current is not None and str(current) != new_dir:
+    live = getattr(_cc, "_cache", None)
+    if live is None:
+        return
+    # fail-safe direction: if the private layout changed and we cannot
+    # read the live cache's path, reset unconditionally rather than risk
+    # silently keeping the old dir (the exact bug this helper fixes)
+    current = getattr(live, "_path", None)
+    if current is None or str(current) != new_dir:
         _cc.reset_cache()
 
 

@@ -21,10 +21,7 @@ BATCH = 64
 EPOCHS = 20
 
 
-def _sync(tree):
-    import jax
-
-    np.asarray(jax.tree.leaves(tree)[0]).ravel()[0]
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def run_config(name, model_cls, ds, n_subjects, dtype, moment_dtype):

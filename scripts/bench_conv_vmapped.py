@@ -33,11 +33,7 @@ B = 64
 N_CHAIN = 20
 
 
-def _sync(out):
-    """Host-transfer barrier. The timed programs return ONE scalar — a
-    np.asarray of any big leaf would ship the whole buffer through the
-    tunnel (~1 GB/s) and swamp the kernel being measured."""
-    np.asarray(out)
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def timed(fn, argf, reps=3):

@@ -45,8 +45,7 @@ G = 4 * H
 N_CHAIN = 30
 
 
-def _sync(tree):
-    np.asarray(jax.tree.leaves(tree)[0]).ravel()[0]
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def timed(fn, argf, reps=3):

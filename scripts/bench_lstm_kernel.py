@@ -20,13 +20,7 @@ S, B, T, I, H = 24, 64, 73, 256, 128
 N_CHAIN = 30
 
 
-def _sync(out):
-    """Completion barrier via host transfer of one output leaf
-    (jax.block_until_ready is NOT reliable over the axon tunnel; see
-    scripts/profile_stem.py)."""
-    import numpy as _np
-
-    _np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def timed(fn, *args, reps=3):

@@ -51,8 +51,7 @@ S, B, T, I, H = 24, 64, 73, 256, 128
 N_CHAIN = 30
 
 
-def _sync(tree):
-    np.asarray(jax.tree.leaves(tree)[0]).ravel()[0]
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def timed(fn, argf, reps=3):

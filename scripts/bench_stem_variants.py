@@ -42,8 +42,7 @@ STAGES = {
 }
 
 
-def _sync(out):
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def timed(fn, argf, reps=3):

@@ -240,16 +240,7 @@ def fwd_call_batched(xp, w_hh, interpret=False):
     )(xp, w_hh)
 
 
-def timed(fn, *args, reps=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+from multimodal_sentiment_aanalysis_tpu.utils.timing import timed
 
 
 def chain(f, n=N_CHAIN):

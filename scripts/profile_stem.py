@@ -31,13 +31,7 @@ B = int(os.environ.get("PROF_B", 64))
 N_CHAIN = int(os.environ.get("PROF_CHAIN", 30))
 
 
-def _sync(out):
-    """Force completion via a host transfer: jax.block_until_ready is NOT
-    reliable over the axon tunnel (measured: it can return in 0.3 ms while
-    the actual execution takes seconds — a no-op on freshly submitted
-    work). Pulling one leaf to host is the only trustworthy barrier."""
-    leaf = jax.tree.leaves(out)[0]
-    np.asarray(leaf).ravel()[0]
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def timed(fn, argf, reps=3):

@@ -32,8 +32,7 @@ N_CHAIN = 20
 P_DROP = 0.4
 
 
-def _sync(out):
-    np.asarray(out)
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def timed(fn, argf, reps=3):

@@ -31,12 +31,7 @@ N_CHAIN = 30
 BATCH = 64
 
 
-def _sync(out):
-    """Host-transfer completion barrier (jax.block_until_ready is not
-    reliable over the axon tunnel; see scripts/profile_stem.py)."""
-    import numpy as _np
-
-    _np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def timed(fn, *args, reps=3):
@@ -113,6 +108,10 @@ def main():
         def loss_fn(params, batch_stats, batch, key):
             params, batch = _cast(params, batch)
             if not train_mode:
+                if bf16:  # eval BN consumes running stats: cast them too,
+                    # else (h - fp32_mean) silently promotes the whole
+                    # post-BN graph back to fp32
+                    batch_stats = cast_floating(batch_stats, jnp.bfloat16)
                 outs = model.apply(
                     {"params": params["model"], "batch_stats": batch_stats},
                     batch["eeg"], batch["eye"], batch["pps"],

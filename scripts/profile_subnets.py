@@ -54,8 +54,7 @@ N_CHAIN = 30
 F = 256
 
 
-def _sync(out):
-    np.asarray(out)
+from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
 
 
 def timed(fn, argf, reps=3):
