@@ -54,6 +54,27 @@ def enable_fused_dispatch(on: bool) -> bool:
     return old
 
 
+def wrap_with_dispatch(fn, on: bool):
+    """Wrap ``fn`` so the fused-dispatch flag equals ``on`` while it runs.
+
+    The flag is read at TRACE time inside :func:`bilstm_layer`, so
+    wrapping a function BEFORE ``jax.jit`` pins the dispatch choice into
+    that program without touching the process-wide default. Used by the
+    vectorized trainers to route configs that exceed the fused kernel's
+    VMEM envelope (:func:`..kernels.lstm.fused_bwd_vmem_fits`) onto the
+    XLA recurrence.
+    """
+
+    def wrapped(*args):
+        old = enable_fused_dispatch(on)
+        try:
+            return fn(*args)
+        finally:
+            enable_fused_dispatch(old)
+
+    return wrapped
+
+
 def _lstm_scan(
     x_proj: jnp.ndarray,  # (T, B, 4H) precomputed input projections (+biases)
     w_hh: jnp.ndarray,  # (4H, H) torch layout
@@ -135,10 +156,30 @@ def bilstm_layer(
         return fused_bilstm_layer(x, fwd, bwd)
     (wif, whf, bif, bhf) = fwd
     (wib, whb, bib, bhb) = bwd
-    hidden = whf.shape[1]
 
     xf = x @ wif.T + (bif + bhf)  # (B, T, 4H)
     xb = jnp.flip(x, axis=1) @ wib.T + (bib + bhb)
+    return bilstm_recurrence(xf, xb, whf, whb, unroll=unroll)
+
+
+def bilstm_recurrence(
+    xf: jnp.ndarray,
+    xb: jnp.ndarray,
+    whf: jnp.ndarray,
+    whb: jnp.ndarray,
+    unroll: int | None = None,
+) -> jnp.ndarray:
+    """The BiLSTM recurrence given *pre-projected* inputs.
+
+    ``xf``/``xb`` are ``x @ W_ih^T + b`` for the forward direction and the
+    time-flipped reverse direction, each (B, T, 4H). Split out from
+    :func:`bilstm_layer` so callers that compute the input projection
+    differently (e.g. the int8-quantized serving path,
+    :mod:`..eval.quantization`) reuse the exact same recurrence.
+    Returns (B, T, 2H) with torch's [forward, backward] concat order.
+    """
+    b, t, _ = xf.shape
+    hidden = whf.shape[1]
     # stack directions: (T, 2, B, 4H)
     xp = jnp.stack(
         [jnp.transpose(xf, (1, 0, 2)), jnp.transpose(xb, (1, 0, 2))], axis=1
@@ -153,7 +194,7 @@ def bilstm_layer(
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    h0 = jnp.zeros((2, b, hidden), x.dtype)
+    h0 = jnp.zeros((2, b, hidden), xf.dtype)
     # unrolling amortizes per-iteration scan overhead on TPU; the recurrence
     # is the fusion-resistant piece of the EEG stem (SURVEY.md §7 hard
     # parts). Short sequences unroll fully (measured 7.0 ms vs 8.3 ms/step

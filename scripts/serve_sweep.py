@@ -65,9 +65,18 @@ def main():
     fwd = build_serving_forward(
         v, use_pallas=True if "--pallas-stem" in sys.argv
         else (False if "--xla-stem" in sys.argv else None))
-    if "--bf16" in sys.argv:
+    if "--bf16" in sys.argv or "--int8" in sys.argv:
         fwd32 = fwd
-        fwd = build_serving_forward(v, compute_dtype=jnp.bfloat16)
+        if "--int8" in sys.argv:
+            from multimodal_sentiment_aanalysis_tpu.eval.quantization import (
+                build_quantized_serving_forward,
+            )
+
+            lbl = "int8"
+            fwd = build_quantized_serving_forward(v)
+        else:
+            lbl = "bf16"
+            fwd = build_serving_forward(v, compute_dtype=jnp.bfloat16)
         # argmax agreement vs the fp32 forward on one big batch
         probe = {k: a[:256] for k, a in ds.arrays.items()}
         a32, v32 = fwd32(probe["eeg"], probe["eye"], probe["pps"])
@@ -75,7 +84,7 @@ def main():
         agree = float(np.mean(
             (np.argmax(a32, -1) == np.argmax(a16, -1))
             & (np.argmax(v32, -1) == np.argmax(v16, -1))))
-        print(f"bf16 argmax agreement vs fp32 (B=256): {agree:.4f}",
+        print(f"{lbl} argmax agreement vs fp32 (B=256): {agree:.4f}",
               flush=True)
     pool = ds.arrays
     rng = np.random.default_rng(3)
