@@ -1005,6 +1005,36 @@ def supported_shape(b: int, hidden: int) -> bool:
     return b % 8 == 0 and hidden % 128 == 0 and (4 * hidden) % 512 == 0
 
 
+def fused_bwd_vmem_fits(n_models: int, batch: int, hidden: int,
+                        itemsize: int = 4,
+                        budget_bytes: int = 120 << 20) -> bool:
+    """Does the v7 backward kernel's scoped VMEM fit at this config?
+
+    When :func:`..ops.rnn.bilstm_layer` runs under ``jax.vmap`` (the
+    vectorized-LOSO trainers), the model axis lands INSIDE the kernel
+    block, so every double-buffered window scales with ``n_models`` and
+    most also with ``batch``. A 24-model fp32 config at per-model B=256
+    was measured to need 146.43M of the 128M scoped-VMEM budget and fail
+    to compile (2026-08-19); B=64/128 fp32 and B=256 bf16 fit. This
+    estimator reproduces that dump's allocation list analytically
+    (x1.10 calibration for spill slots / rounding) so oversized configs
+    can fall back to the XLA recurrence instead of dying in the
+    compiler. Measured-safe points: est(24,64,128,4)=84M ok,
+    est(24,128,128,4)=105M ok, est(24,256,128,4)=146M OOM.
+    """
+    s, b, h, it = n_models, batch, hidden, itemsize
+    two_buf = 2
+    est = (
+        s * (b + h + 8) * 4 * h * it * two_buf   # packed dy/out window
+        + s * 2 * h * 4 * h * it * two_buf       # w_ih window
+        + 4 * s * b * h * it * two_buf           # 4 per-step h/c windows
+        + 2 * s * b * 2 * h * it * two_buf       # x window + dx output
+        + s * h * 4 * h * it * two_buf           # w_hh window
+        + 2 * s * 2 * h * h * it                 # scratch accumulators
+    )
+    return est * 1.10 <= budget_bytes
+
+
 def fused_bilstm_layer(
     x: jnp.ndarray,
     fwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],

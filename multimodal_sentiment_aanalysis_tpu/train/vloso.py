@@ -46,6 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.pipeline import DeviceDataset, epoch_plan_on_device
 from ..data.splits import loso_split
 from ..ops.losses import masked_accuracy, masked_cross_entropy
+from ..ops.rnn import wrap_with_dispatch
 from .state import (
     adamw_lowp,
     cast_floating,
@@ -161,6 +162,20 @@ class VectorizedLOSOTrainer:
             jax.random.key(seed + 1, impl="rbg"), self.n_total
         )
 
+        # Under vmap the model axis lands inside the fused LSTM kernel's
+        # blocks, so its backward's scoped VMEM grows with S*B; configs
+        # past the measured envelope (24-model fp32 B=256 needs 146M of
+        # the 128M budget) would die in the TPU compiler. Route them onto
+        # the XLA recurrence instead — per-program, via wrap_with_dispatch,
+        # without touching the process default.
+        from ..kernels.lstm import fused_bwd_vmem_fits
+
+        hidden = getattr(model, "feat_dim", 256) // 2
+        itemsize = 2 if compute_dtype == "bfloat16" else 4
+        self._fused_lstm_ok = fused_bwd_vmem_fits(
+            self.n_total, batch_size, hidden, itemsize
+        )
+
         if mesh is not None:
             # place the per-model state sharded once; out_shardings keep it
             # sharded across epochs, so there is no resharding in the loop
@@ -247,7 +262,9 @@ class VectorizedLOSOTrainer:
         return params, batch_stats, opt_state, key, jax.tree.map(jnp.sum, ms)
 
     def _build_train_epoch(self) -> Callable:
-        fn = jax.vmap(self._one_model_epoch)
+        fn = wrap_with_dispatch(
+            jax.vmap(self._one_model_epoch), self._fused_lstm_ok
+        )
         if self.mesh is None:
             return jax.jit(fn)
         # subject-sharded SPMD: every arg/out has a leading subject axis
@@ -274,7 +291,8 @@ class VectorizedLOSOTrainer:
                 "v_acc": masked_accuracy(v, batch["valence"], ones),
             }
 
-        fn = jax.vmap(one_model_eval)
+        fn = wrap_with_dispatch(jax.vmap(one_model_eval),
+                                self._fused_lstm_ok)
         if self.mesh is None:
             return jax.jit(fn)
         s = self._shard
@@ -353,6 +371,7 @@ class VectorizedLOSOTrainer:
             )
             return params, batch_stats, opt_state, dkeys, totals
 
+        fused = wrap_with_dispatch(fused, self._fused_lstm_ok)
         if self.mesh is None:
             return jax.jit(fused)
         s, r = self._shard, self._repl

@@ -225,3 +225,29 @@ class TestVLOSOResume:
             arrays["eeg"][:2], arrays["eye"][:2], arrays["pps"][:2],
         )
         assert np.isfinite(np.asarray(out[0])).all()
+
+
+def test_fused_lstm_vmem_gate():
+    """The VMEM estimator matches the measured TPU envelope (2026-08-19):
+    24-model fp32 B=64/128 compile, B=256 OOMs (146.43M/128M); bf16 B=256
+    compiles. Oversized trainers route the LSTM onto the XLA recurrence."""
+    from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
+        fused_bwd_vmem_fits,
+    )
+
+    assert fused_bwd_vmem_fits(24, 64, 128, 4)
+    assert fused_bwd_vmem_fits(24, 128, 128, 4)
+    assert not fused_bwd_vmem_fits(24, 256, 128, 4)  # measured OOM
+    assert fused_bwd_vmem_fits(24, 256, 128, 2)      # bf16 measured ok
+
+    rng = np.random.default_rng(1)
+    arrays = _tiny_arrays(rng)
+    ds = DeviceDataset(arrays)
+    model = MultimodalTransformerModel(feat_dim=32, eeg_time=16)
+    small = VectorizedLOSOTrainer(model, ds, 4, 8, batch_size=8, seed=0)
+    assert small._fused_lstm_ok  # tiny config fits
+    big = VectorizedLOSOTrainer(model, ds, 4, 8, batch_size=100_000, seed=0)
+    assert not big._fused_lstm_ok  # absurd batch routes to XLA
+    # the gated trainer still builds and runs a step program
+    m = small.train_epoch()
+    assert np.isfinite(m["loss"]).all()
