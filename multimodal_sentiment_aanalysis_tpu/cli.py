@@ -396,6 +396,7 @@ def cmd_vloso(args) -> None:
     trainer = VectorizedLOSOTrainer(
         MultimodalTransformerModel(**_model_kwargs(args)), DeviceDataset(arrays),
         n_subjects, ex_nums, seed=args.seed,
+        batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else None,
         mesh=mesh,
     )
@@ -658,6 +659,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     _add_common(p)
     p.add_argument("--epochs", type=int, nargs=1, default=[100])
+    p.add_argument("--batch-size", type=int, default=64, dest="batch_size",
+                   help="per-model batch (64 = reference-faithful; larger "
+                        "batches raise MFU — B=128 was measured 1.36x the "
+                        "B=64 throughput, scripts/bench_batch_scaling.py — "
+                        "but change optimization dynamics)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (float32 master params)")
     p.add_argument("--dp", action="store_true",
