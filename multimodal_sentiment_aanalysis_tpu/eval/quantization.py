@@ -30,11 +30,40 @@ reuses :func:`..ops.rnn.bilstm_recurrence` — the exact scan the float
 serving path runs.
 
 Parity: ``tests/test_serving.py::test_serving_int8_agrees_with_fp32``
-pins logit closeness + argmax agreement vs the fp32 serving forward.
-Hardware A/B vs fp32/bf16: ``scripts/serve_quant_sweep.py`` (results in
-the table below once measured).
+pins logit closeness + argmax agreement vs the fp32 serving forward;
+measured argmax agreement on the TPU at B=256: **0.9766** (bf16: 0.9922).
 
-Reference: ``Tester.py:37-84`` (the deployment surface this accelerates).
+Hardware verdict (TPU v5e, ``scripts/serve_sweep.py --int8``,
+2026-08-19): **a measured LOSS vs bf16 — int8 stays opt-in.**
+
+====  ==========  ==========  ====================
+B     int8        bf16        bf16, MSA_FUSED_LSTM=0
+====  ==========  ==========  ====================
+64     64,505      75,158     —
+256   189,368     205,571     —
+512   217,153     300,923     230,364
+4096  199,137     381,798     220,599
+====  ==========  ==========  ====================
+
+Two causes, isolated by the third column (bf16 forced onto the same
+XLA scan recurrence this path uses):
+
+1. The quantized path cannot ride the fused Pallas BiLSTM kernel (it
+   computes the input projection in-kernel from the float input), and
+   at large batch that kernel IS the serving win: disabling it costs
+   bf16 1.3x at B=512 and 1.7x at B=4096.
+2. Net of that, int8 ~matches unfused bf16 (217k vs 230k at B=512):
+   the per-call dynamic quantization (row max + rint + clip + casts,
+   all VPU work) cancels the MXU rate gain at these layer widths
+   (K <= 768 — the matmuls are too small for the int8 rate to
+   dominate the requantization traffic).
+
+The implementation stays: it is the correct PTQ recipe if a larger
+model family (wide GEMMs) lands, and int8 weights are 4x smaller for
+memory-constrained export. For throughput, use bf16
+(:func:`.serving.build_serving_forward` with ``compute_dtype``).
+
+Reference: ``Tester.py:37-84`` (the deployment surface this targets).
 """
 
 from __future__ import annotations
