@@ -28,7 +28,7 @@ step and the hidden sequence streamed out. Two structural tricks:
   loop (the MXU dependency chain is identical) but Mosaic compiles it
   ~120x faster (3.7 s vs 451 s cold at the flagship shape).
 
-Scope (v6+v7): the recurrence, the input projection, AND the gradient
+Scope (v6+v7+v8): the recurrence, the input projection, AND the gradient
 reductions are all in-kernel. Forward (v6): the kernel streams the raw
 (T, B, I) input and each grid step adds one batched ``x_t @ W_ih`` dot
 to the recurrent dot, so the (T, B, 8H) projection tensor (4x the input
@@ -38,11 +38,19 @@ recomputes the gates from ``x_t + h_prev``, accumulates
 block (db falls out of the ones-rows), and streams ``dx`` out as
 per-direction lane halves — so the packed gate-grad tensor dxp
 (459 MB/layer fp32) never exists either; the only XLA epilogue is
-summing the two dx halves (fused into the consumer). Inputs whose width
-is not lane-aligned (I % 128 != 0) take the v5 two-pass form (one
+summing the two dx halves (fused into the consumer). v8 (2026-08-19):
+the forward emits ONLY ``h_seq`` — c lives in scratch and never crosses
+the program boundary; the backward first rebuilds ``c_seq`` with a
+forward-order sweep kernel (``_cseq_kernel``: gates from stored x +
+h_seq, elementwise c carry — no matmul recurrence, bit-exact in fp32)
+and the reverse-sweep grid blocks the BATCH axis (``pick_block_b``) so
+its VMEM windows scale with the block, not B — fp32 B=256 runs fused as
+two Bb=128 blocks instead of falling off the 128 MB cliff. Inputs whose
+width is not lane-aligned (I % 128 != 0) take the v5 two-pass form (one
 hoisted XLA projection matmul + an xp-streaming kernel), as does
 ``MSA_LSTM_XPROJ=0``; ``MSA_LSTM_BWDC=0`` reverts just the backward to
-the v6 split (kernel emits dxp, XLA reduces).
+the v6 split (kernel emits dxp, XLA reduces) — both legacy paths still
+carry a forward c output and exist for debugging only.
 
 Numerics: matmuls take ``preferred_element_type=float32``; ``h``/``c``
 accumulate in float32 even in bf16 compute mode (tighter than the jnp bf16
@@ -108,10 +116,25 @@ below). Remaining gap to roofline is the serial per-step dot chain
 (146 dots at half-tile M occupancy) and the backward's unchanged
 XLA reductions.
 
-Known issue (characterized, root cause external): one artificial
-profiling composition faults at runtime on the tunnel ("UNAVAILABLE:
-TPU device error ... kernel fault"): the full-model chained train step
-whose gradients are consumed WITHOUT the clip+optimizer
+Device-fault class, RESOLVED BY DESIGN in v8 (history below): through
+round 3, one XLA-schedule-dependent composition at a time faulted at
+runtime on the tunnel ("UNAVAILABLE: TPU device error ... kernel
+fault"), and round-3 bisection proved the trigger was the FORWARD
+kernel's c_seq output being consumed downstream (``fwdnoc`` — its c
+output unused — was clean; layout- and barrier-independent). v8 removes
+that trigger structurally: the forward kernel HAS no c output, so the
+bisected faulting configuration can no longer be constructed. The
+backward rebuilds c via ``_cseq_kernel``. Validation 2026-08-19 (v8 on
+hardware): every ``profile_step --only=*`` ablation — including
+``no-update`` and ``ce-only``, the two compositions that faulted under
+v5/v6/v7 — runs clean with fused dispatch ON, as do bench.py's configs
+and the CLI drivers. The ``MSA_FUSED_LSTM=0`` kill switch and the
+``utils/preflight.py`` canary ladder remain as belt-and-suspenders for
+new compositions, no longer load-bearing.
+
+History of the fault class (pre-v8), kept for the record: the faulting
+composition was the full-model chained train step whose gradients are
+consumed WITHOUT the clip+optimizer
 (``scripts/profile_step.py --only=no-update``). Round-3 bisection
 (``scripts/debug_lstm_fault.py`` — jnp twins of both kernels swapped in
 under the exact faulting composition, each in a fresh process):
@@ -451,12 +474,14 @@ def _bwd_call(dh_seq, xp, h_seq, c_seq, w_hh, interpret: bool):
 # unaligned widths fall back to the v5 path.
 
 
-def _fwd_xproj_kernel(x_ref, wih_ref, whh_ref, b_ref, hs_ref, cs_ref,
+def _fwd_xproj_kernel(x_ref, wih_ref, whh_ref, b_ref, hs_ref,
                       h_scr, c_scr):
     """Grid (2, T), time innermost, model axis S in the block. Blocks:
     x (S,1,B,I) at the direction's actual-time index; wih (S,1,I,4H);
-    whh (S,1,H,4H); b (S,1,1,4H); h_seq/c_seq out (S,1,B,H) into packed
-    (T,B,2H) lane-blocked layouts (as v5)."""
+    whh (S,1,H,4H); b (S,1,1,4H); h_seq out (S,1,B,H) into a packed
+    (T,B,2H) lane-blocked layout. v8: h_seq is the ONLY output — c is
+    carried in scratch and never leaves the kernel (the backward
+    recomputes it; see `_cseq_kernel`)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -488,13 +513,12 @@ def _fwd_xproj_kernel(x_ref, wih_ref, whh_ref, b_ref, hs_ref, cs_ref,
     h_scr[...] = h
     c_scr[...] = c
     hs_ref[:, 0] = h.astype(hs_ref.dtype)
-    cs_ref[:, 0] = c.astype(cs_ref.dtype)
 
 
 def _fwd_xproj_call(x, w_ih, w_hh, b, interpret: bool):
     """x (S,T,B,I) actual-time; w_ih (S,2,I,4H); w_hh (S,2,H,4H);
     b (S,2,1,4H) per-direction summed biases. Returns packed h_seq
-    (S,T,B,2H) in x.dtype and c_seq (S,T,B,2H) float32 (v5 layouts)."""
+    (S,T,B,2H) in x.dtype — the kernel's only output (v8)."""
     S, T, B, I = x.shape
     G = w_hh.shape[-1]
     H = G // 4
@@ -511,14 +535,8 @@ def _fwd_xproj_call(x, w_ih, w_hh, b, interpret: bool):
             pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((S, 1, B, H), omap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, B, H), omap, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((S, T, B, 2 * H), x.dtype),
-            jax.ShapeDtypeStruct((S, T, B, 2 * H), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((S, 1, B, H), omap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, T, B, 2 * H), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((S, B, H), jnp.float32),
             pltpu.VMEM((S, B, H), jnp.float32),
@@ -529,6 +547,95 @@ def _fwd_xproj_call(x, w_ih, w_hh, b, interpret: bool):
         ),
         interpret=interpret,
     )(x, w_ih, w_hh, b)
+
+
+# ---------------------------------------------------------------------------
+# v8: c-recompute sweep — the backward rebuilds c_seq from (x, h_seq,
+# weights), so the forward kernel never emits c at all
+# ---------------------------------------------------------------------------
+#
+# Round-3 bisection (module "Known issue", scripts/debug_lstm_fault.py)
+# proved the XLA-schedule-dependent device fault triggers iff the FORWARD
+# kernel's c_seq output is consumed downstream (`fwdnoc` clean, layout- and
+# barrier-independent). v8 closes that class by construction: the forward
+# emits ONLY h_seq, and the VJP backward first runs this forward-order
+# sweep to rebuild c. The gates at step t depend only on STORED tensors
+# (x_t and h_{t-1} from h_seq) — there is no matmul recurrence here, just
+# the elementwise c carry — so in fp32 the recomputed c is bit-identical
+# to what the forward computed (same dots, same op order). Side benefits:
+# the forward saves the c_seq HBM write, and c_seq is no longer a VJP
+# residual XLA must keep live across the whole model (peak-HBM win).
+# In bf16 compute mode the recomputed c differs from the forward's
+# internal fp32 carry by the h_seq storage rounding — the same rounding
+# the v7 backward's gate recompute already accepted.
+
+
+def _cseq_kernel(x_ref, hprev_ref, wih_ref, whh_ref, b_ref, cs_ref, c_scr):
+    """Grid (2, T), FORWARD time order. Recomputes c_t = f_t*c_{t-1} +
+    i_t*g_t with gates from x_t + h_{t-1} (h streamed from the stored
+    h_seq — no recurrent dependency through the dots)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    h_prev = jnp.where(t == 0, 0.0, hprev_ref[:, 0].astype(jnp.float32))
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    cdt = x_ref.dtype
+    gates = jax.lax.dot_general(
+        x_ref[:, 0], wih_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        _dot_op(h_prev, cdt), whh_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + b_ref[:, 0].astype(jnp.float32)
+
+    hidden = c_scr.shape[-1]
+    i = _sigmoid(gates[..., :hidden])
+    f = _sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    c = f * c_scr[...] + i * g
+    c_scr[...] = c
+    cs_ref[:, 0] = c
+
+
+def _cseq_call(x, h_seq, w_ih, w_hh, b, interpret: bool):
+    """Rebuild packed c_seq (S,T,B,2H) float32 from the stored x/h_seq
+    (both packed actual-time layouts) and the layer weights."""
+    S, T, B, I = x.shape
+    G = w_hh.shape[-1]
+    H = G // 4
+
+    xmap = lambda d, t: (0, _time_map(d, t, T), 0, 0)
+    omap = lambda d, t: (0, _time_map(d, t, T), 0, d)
+    # actual time of the PREVIOUS recurrence step (clamped; the kernel
+    # zeroes h_prev at t == 0)
+    hpmap = lambda d, t: (
+        0, jnp.clip(_time_map(d, t - 1, T), 0, T - 1), 0, d)
+    wmap = lambda d, t: (0, d, 0, 0)
+    return pl.pallas_call(
+        _cseq_kernel,
+        grid=(2, T),
+        in_specs=[
+            pl.BlockSpec((S, 1, B, I), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, B, H), hpmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, I, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, 1, B, H), omap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, T, B, 2 * H), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, h_seq, w_ih, w_hh, b)
 
 
 def _bwd_xproj_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
@@ -662,7 +769,8 @@ def _bwd_xproj_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b,
 def _bwd_bwdc_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
                      wih_ref, whh_ref, b_ref, dx_ref, dw_ref,
                      dh_scr, dc_scr, *, T: int):
-    tau = pl.program_id(1)
+    nb = pl.program_id(1)  # batch block (v8: windows scale with Bb, not B)
+    tau = pl.program_id(2)
 
     @pl.when(tau == 0)
     def _():
@@ -728,13 +836,55 @@ def _bwd_bwdc_kernel(dh_ref, x_ref, hprev_ref, ccur_ref, cprev_ref,
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(tau == 0)
+    # the dW block's index map is constant per direction, so it stays
+    # resident across the whole (nb, tau) sweep; first visit sets, the
+    # rest accumulate (batch blocks sum into dW by definition)
+    first_dw = jnp.logical_and(nb == 0, tau == 0)
+
+    @pl.when(first_dw)
     def _():
         dw_ref[:, 0] = contrib
 
-    @pl.when(tau > 0)
+    @pl.when(jnp.logical_not(first_dw))
     def _():
         dw_ref[:, 0] += contrib
+
+
+# Test hook: force the backward's batch block size (None = pick by VMEM).
+_FORCE_BLOCK_B: int | None = None
+
+
+def _bwdc_vmem_est(s: int, bb: int, i_dim: int, h: int, it: int) -> int:
+    """Scoped-VMEM estimate (bytes) for the v8 backward at batch block
+    ``bb``. Shape-accurate per-window sum x2 for Mosaic double buffering;
+    c windows/accumulators are always float32. The x1.10 calibration for
+    spill slots / rounding reproduces the measured 146.43M compiler dump
+    at (24, 256, 256, 128, fp32) within 0.1%."""
+    G = 4 * h
+    est = 2 * (
+        s * bb * h * it          # dh window
+        + s * bb * i_dim * it    # x window
+        + s * bb * h * it        # h_prev window
+        + 2 * s * bb * h * 4     # c_cur + c_prev windows (f32)
+        + s * bb * i_dim * it    # dx output window
+        + s * i_dim * G * it     # w_ih window
+        + s * h * G * it         # w_hh window
+        + s * G * it             # bias window
+        + s * (i_dim + h + 8) * G * 4  # dW output window (f32)
+    ) + 2 * s * bb * h * 4       # dh/dc carry scratch (f32)
+    return int(est * 1.10)
+
+
+def pick_block_b(s: int, b: int, i_dim: int, h: int, it: int,
+                 budget_bytes: int = 120 << 20) -> int:
+    """Largest batch block (divisor of ``b``, multiple of 8) whose v8
+    backward fits the scoped-VMEM budget. Halves until it fits; a config
+    too big even at block 8 returns 8 and lets the compiler complain."""
+    bb = b
+    while bb > 8 and bb % 2 == 0 and _bwdc_vmem_est(
+            s, bb, i_dim, h, it) > budget_bytes:
+        bb //= 2
+    return bb
 
 
 def _bwd_bwdc_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b,
@@ -742,35 +892,47 @@ def _bwd_bwdc_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b,
     """Reverse sweep with in-kernel reductions. Returns (dx_pk
     (S,T,B,2I) x.dtype — per-direction lane blocks, sum the halves for
     dx; dw_cat (S,2,I+H+8,4H) float32 — rows [:I]=dW_ih, [I:I+H]=dW_hh,
-    [I+H]=db)."""
+    [I+H]=db).
+
+    v8: the grid is (2, NB, T) — the batch axis is blocked so every
+    double-buffered window scales with the block batch Bb instead of B.
+    Each batch block runs its full reverse sweep independently (the
+    dh/dc carries are per-sample), and the dW output block accumulates
+    across blocks. Bb is the largest divisor of B that fits the scoped-
+    VMEM budget (:func:`pick_block_b`), which keeps B<=128 fp32 at one
+    block (identical schedule to v7) and runs fp32 B=256 as two blocks
+    instead of falling off the VMEM cliff onto the XLA recurrence."""
     S, T, B, I = x.shape
     G = w_hh.shape[-1]
     H = G // 4
     R = I + H + 8
+    bb = _FORCE_BLOCK_B or pick_block_b(S, B, I, H, x.dtype.itemsize)
+    nb = max(B // bb, 1)
+    bb = B // nb
 
-    a = lambda d, tau: _time_map(d, T - 1 - tau, T)
-    prev = lambda d, tau: jnp.clip(
-        jnp.where(d == 0, a(d, tau) - 1, a(d, tau) + 1), 0, T - 1)
-    amap = lambda d, tau: (0, a(d, tau), 0, d)
-    xamap = lambda d, tau: (0, a(d, tau), 0, 0)
-    pmap = lambda d, tau: (0, prev(d, tau), 0, d)
-    wmap = lambda d, tau: (0, d, 0, 0)
+    a = lambda d, n, tau: _time_map(d, T - 1 - tau, T)
+    prev = lambda d, n, tau: jnp.clip(
+        jnp.where(d == 0, a(d, n, tau) - 1, a(d, n, tau) + 1), 0, T - 1)
+    amap = lambda d, n, tau: (0, a(d, n, tau), n, d)
+    xamap = lambda d, n, tau: (0, a(d, n, tau), n, 0)
+    pmap = lambda d, n, tau: (0, prev(d, n, tau), n, d)
+    wmap = lambda d, n, tau: (0, d, 0, 0)
 
     return pl.pallas_call(
         functools.partial(_bwd_bwdc_kernel, T=T),
-        grid=(2, T),
+        grid=(2, nb, T),
         in_specs=[
-            pl.BlockSpec((S, 1, B, H), amap, memory_space=pltpu.VMEM),   # dh
-            pl.BlockSpec((S, 1, B, I), xamap, memory_space=pltpu.VMEM),  # x
-            pl.BlockSpec((S, 1, B, H), pmap, memory_space=pltpu.VMEM),   # h_prev
-            pl.BlockSpec((S, 1, B, H), amap, memory_space=pltpu.VMEM),   # c_cur
-            pl.BlockSpec((S, 1, B, H), pmap, memory_space=pltpu.VMEM),   # c_prev
-            pl.BlockSpec((S, 1, I, G), wmap, memory_space=pltpu.VMEM),   # wih
-            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),   # whh
-            pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),   # b
+            pl.BlockSpec((S, 1, bb, H), amap, memory_space=pltpu.VMEM),   # dh
+            pl.BlockSpec((S, 1, bb, I), xamap, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((S, 1, bb, H), pmap, memory_space=pltpu.VMEM),   # h_prev
+            pl.BlockSpec((S, 1, bb, H), amap, memory_space=pltpu.VMEM),   # c_cur
+            pl.BlockSpec((S, 1, bb, H), pmap, memory_space=pltpu.VMEM),   # c_prev
+            pl.BlockSpec((S, 1, I, G), wmap, memory_space=pltpu.VMEM),    # wih
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),    # whh
+            pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),    # b
         ],
         out_specs=[
-            pl.BlockSpec((S, 1, B, I), amap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, bb, I), amap, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 1, R, G), wmap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -778,12 +940,12 @@ def _bwd_bwdc_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b,
             jax.ShapeDtypeStruct((S, 2, R, G), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((S, B, H), jnp.float32),
-            pltpu.VMEM((S, B, H), jnp.float32),
+            pltpu.VMEM((S, bb, H), jnp.float32),
+            pltpu.VMEM((S, bb, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 2**20,
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(dh_seq, x, h_seq, c_seq, c_seq, w_ih, w_hh, b)
@@ -833,9 +995,8 @@ def _make_vm_xproj(interpret: bool):
     @custom_vmap
     def vm_fwd(x, w_ih, w_hh, b):
         # unbatched view: x (T,B,I), w_ih (2,I,4H), w_hh (2,H,4H), b (2,1,4H)
-        h, c = _fwd_xproj_call(x[None], w_ih[None], w_hh[None], b[None],
-                               interpret)
-        return h[0], c[0]
+        return _fwd_xproj_call(x[None], w_ih[None], w_hh[None], b[None],
+                               interpret)[0]
 
     @vm_fwd.def_vmap
     def _vm_fwd_rule(axis_size, in_batched, x, w_ih, w_hh, b):
@@ -843,7 +1004,7 @@ def _make_vm_xproj(interpret: bool):
             v if bt else _bcast(v, axis_size)
             for v, bt in zip((x, w_ih, w_hh, b), in_batched)
         ]
-        return _fwd_xproj_call(*args, interpret), (True, True)
+        return _fwd_xproj_call(*args, interpret), True
 
     @custom_vmap
     def vm_bwd(dh, x, h, c, w_ih, w_hh, b):
@@ -873,7 +1034,20 @@ def _make_vm_xproj(interpret: bool):
         ]
         return _bwd_bwdc_call(*args, interpret), (True, True)
 
-    return vm_fwd, vm_bwd, vm_bwdc
+    @custom_vmap
+    def vm_cseq(x, h, w_ih, w_hh, b):
+        return _cseq_call(x[None], h[None], w_ih[None], w_hh[None],
+                          b[None], interpret)[0]
+
+    @vm_cseq.def_vmap
+    def _vm_cseq_rule(axis_size, in_batched, x, h, w_ih, w_hh, b):
+        args = [
+            v if bt else _bcast(v, axis_size)
+            for v, bt in zip((x, h, w_ih, w_hh, b), in_batched)
+        ]
+        return _cseq_call(*args, interpret), True
+
+    return vm_fwd, vm_bwd, vm_bwdc, vm_cseq
 
 
 # ---------------------------------------------------------------------------
@@ -945,19 +1119,25 @@ def lstm_recurrence_xproj(x, w_ih, w_hh, b, interpret=False):
     ``b_ih + b_hh``. Returns h_seq (T, B, 2H) packed [fwd|bwd],
     actual-time — the same output contract as :func:`lstm_recurrence`,
     but the (T, B, 8H) projection tensor never exists (hardware A/B in
-    the module docstring / ``scripts/bench_lstm_inkernel_proj.py``).
-    vmap over models maps onto the kernel's S axis."""
-    h_seq, _ = _make_vm_xproj(interpret)[0](x, w_ih, w_hh, b)
-    return h_seq
+    the module docstring / ``scripts/bench_lstm_inkernel_proj.py``) and,
+    as of v8, neither does a forward c_seq output: the backward rebuilds
+    c from (x, h_seq) via :func:`_cseq_call`, so no c-derived tensor
+    ever crosses the forward kernel's program boundary (the round-3
+    fault trigger). vmap over models maps onto the kernel's S axis."""
+    return _make_vm_xproj(interpret)[0](x, w_ih, w_hh, b)
 
 
 def _xproj_fwd(x, w_ih, w_hh, b, interpret):
-    h_seq, c_seq = _make_vm_xproj(interpret)[0](x, w_ih, w_hh, b)
-    return h_seq, (x, w_ih, w_hh, b, h_seq, c_seq)
+    h_seq = _make_vm_xproj(interpret)[0](x, w_ih, w_hh, b)
+    return h_seq, (x, w_ih, w_hh, b, h_seq)
 
 
 def _xproj_bwd(interpret, res, dh_seq):
-    x, w_ih, w_hh, b, h_seq, c_seq = res
+    x, w_ih, w_hh, b, h_seq = res
+    # v8: rebuild c in forward order from the stored tensors (bit-exact
+    # in fp32 — the gates depend only on x and h_seq, and the c carry is
+    # elementwise). The forward kernel itself never emits c.
+    c_seq = _make_vm_xproj(interpret)[3](x, h_seq, w_ih, w_hh, b)
     if _BWDC_ENABLED:
         # v7: the reverse-sweep kernel already reduced everything —
         # dW/db accumulated in its output block, dx emitted as
@@ -1008,31 +1188,27 @@ def supported_shape(b: int, hidden: int) -> bool:
 def fused_bwd_vmem_fits(n_models: int, batch: int, hidden: int,
                         itemsize: int = 4,
                         budget_bytes: int = 120 << 20) -> bool:
-    """Does the v7 backward kernel's scoped VMEM fit at this config?
+    """Does the fused backward fit scoped VMEM at this config?
 
     When :func:`..ops.rnn.bilstm_layer` runs under ``jax.vmap`` (the
     vectorized-LOSO trainers), the model axis lands INSIDE the kernel
     block, so every double-buffered window scales with ``n_models`` and
-    most also with ``batch``. A 24-model fp32 config at per-model B=256
-    was measured to need 146.43M of the 128M scoped-VMEM budget and fail
-    to compile (2026-08-19); B=64/128 fp32 and B=256 bf16 fit. This
-    estimator reproduces that dump's allocation list analytically
-    (x1.10 calibration for spill slots / rounding) so oversized configs
-    can fall back to the XLA recurrence instead of dying in the
-    compiler. Measured-safe points: est(24,64,128,4)=84M ok,
-    est(24,128,128,4)=105M ok, est(24,256,128,4)=146M OOM.
+    most also with the batch block. Pre-v8 history: a 24-model fp32
+    config at per-model B=256 was measured to need 146.43M of the 128M
+    scoped-VMEM budget and fail to compile (2026-08-19) —
+    :func:`_bwdc_vmem_est` reproduces that dump within 0.1%. v8 blocks
+    the batch axis in the backward grid (:func:`pick_block_b`), so the
+    windows scale with the chosen block Bb and such configs now compile
+    fused (B=256 fp32 runs as two Bb=128 blocks). This predicate asks
+    whether the estimate fits at the block :func:`pick_block_b` selects;
+    it only fails for configs too big even at Bb=8 (the vectorized
+    trainers then fall back to the XLA recurrence). The flagship input
+    width I = 2H is assumed, as in the EEG stem's both layers.
     """
-    s, b, h, it = n_models, batch, hidden, itemsize
-    two_buf = 2
-    est = (
-        s * (b + h + 8) * 4 * h * it * two_buf   # packed dy/out window
-        + s * 2 * h * 4 * h * it * two_buf       # w_ih window
-        + 4 * s * b * h * it * two_buf           # 4 per-step h/c windows
-        + 2 * s * b * 2 * h * it * two_buf       # x window + dx output
-        + s * h * 4 * h * it * two_buf           # w_hh window
-        + 2 * s * 2 * h * h * it                 # scratch accumulators
-    )
-    return est * 1.10 <= budget_bytes
+    bb = pick_block_b(n_models, batch, 2 * hidden, hidden, itemsize,
+                      budget_bytes)
+    return _bwdc_vmem_est(
+        n_models, bb, 2 * hidden, hidden, itemsize) <= budget_bytes
 
 
 def fused_bilstm_layer(

@@ -163,11 +163,13 @@ class VectorizedLOSOTrainer:
         )
 
         # Under vmap the model axis lands inside the fused LSTM kernel's
-        # blocks, so its backward's scoped VMEM grows with S*B; configs
-        # past the measured envelope (24-model fp32 B=256 needs 146M of
-        # the 128M budget) would die in the TPU compiler. Route them onto
-        # the XLA recurrence instead — per-program, via wrap_with_dispatch,
-        # without touching the process default.
+        # blocks, so its backward's scoped VMEM grows with S and the
+        # batch block. The v8 backward blocks the batch axis in its grid
+        # (kernels/lstm.py::pick_block_b), so every realistic config now
+        # fits fused (the fp32 B=256 cliff — 146M/128M measured pre-v8 —
+        # runs as two Bb=128 blocks); only absurd configs too big even
+        # at block 8 route onto the XLA recurrence, per-program via
+        # wrap_with_dispatch, without touching the process default.
         from ..kernels.lstm import fused_bwd_vmem_fits
 
         hidden = getattr(model, "feat_dim", 256) // 2

@@ -357,6 +357,35 @@ class TestFusedBiLSTM:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=2e-5)
 
+    def test_gradient_parity_batch_blocked_bwd(self, rng):
+        """The v8 backward with the batch axis blocked in the grid (NB=2)
+        must match the jnp path exactly like the single-block form — this
+        is the path fp32 B=256 takes instead of the old VMEM cliff."""
+        from multimodal_sentiment_aanalysis_tpu.kernels import lstm
+        from multimodal_sentiment_aanalysis_tpu.ops.rnn import bilstm_layer
+
+        B, T, I, H = 8, 5, 12, 128
+        fwd, bwd = self._params(rng, I, H), self._params(rng, I, H)
+        x = jnp.asarray(rng.normal(size=(B, T, I)).astype(np.float32))
+
+        def loss(f, x, fw, bw):
+            return jnp.sum(jnp.sin(f(x, fw, bw)))
+
+        gr = jax.grad(loss, argnums=(1, 2, 3))(bilstm_layer, x, fwd, bwd)
+        old = lstm._FORCE_BLOCK_B
+        lstm._FORCE_BLOCK_B = 4  # B=8 -> two batch blocks
+        try:
+            gk = jax.grad(loss, argnums=(1, 2, 3))(
+                lambda a, b, c: lstm.fused_bilstm_layer(
+                    a, b, c, interpret=True, use_xproj=True),
+                x, fwd, bwd,
+            )
+        finally:
+            lstm._FORCE_BLOCK_B = old
+        for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gk)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-4)
+
     def test_dispatch_gate(self):
         from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
             supported_shape,

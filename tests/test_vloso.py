@@ -228,17 +228,29 @@ class TestVLOSOResume:
 
 
 def test_fused_lstm_vmem_gate():
-    """The VMEM estimator matches the measured TPU envelope (2026-08-19):
-    24-model fp32 B=64/128 compile, B=256 OOMs (146.43M/128M); bf16 B=256
-    compiles. Oversized trainers route the LSTM onto the XLA recurrence."""
+    """The VMEM estimator reproduces the measured TPU envelope
+    (2026-08-19: 24-model fp32 B=256 needed 146.43M of the 128M budget
+    at one batch block), and the v8 batch-blocked backward keeps every
+    production config fused: B<=128 fp32 at one block (unchanged
+    schedule), B=256 fp32 as two Bb=128 blocks."""
     from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
+        _bwdc_vmem_est,
         fused_bwd_vmem_fits,
+        pick_block_b,
     )
 
+    # the pre-v8 single-block estimate matches the measured 146.43M dump
+    assert abs(_bwdc_vmem_est(24, 256, 256, 128, 4) - 146_430_000) < 2e6
+    # block choices: unchanged schedule up to B=128 fp32, blocked above
+    assert pick_block_b(24, 64, 256, 128, 4) == 64
+    assert pick_block_b(24, 128, 256, 128, 4) == 128
+    assert pick_block_b(24, 256, 256, 128, 4) == 128  # NB=2
+    assert pick_block_b(24, 256, 256, 128, 2) == 256  # bf16 single block
+    # all flagship configs now stay on the fused path
     assert fused_bwd_vmem_fits(24, 64, 128, 4)
     assert fused_bwd_vmem_fits(24, 128, 128, 4)
-    assert not fused_bwd_vmem_fits(24, 256, 128, 4)  # measured OOM
-    assert fused_bwd_vmem_fits(24, 256, 128, 2)      # bf16 measured ok
+    assert fused_bwd_vmem_fits(24, 256, 128, 4)  # was the VMEM cliff
+    assert fused_bwd_vmem_fits(24, 256, 128, 2)
 
     rng = np.random.default_rng(1)
     arrays = _tiny_arrays(rng)
@@ -246,8 +258,10 @@ def test_fused_lstm_vmem_gate():
     model = MultimodalTransformerModel(feat_dim=32, eeg_time=16)
     small = VectorizedLOSOTrainer(model, ds, 4, 8, batch_size=8, seed=0)
     assert small._fused_lstm_ok  # tiny config fits
-    big = VectorizedLOSOTrainer(model, ds, 4, 8, batch_size=100_000, seed=0)
-    assert not big._fused_lstm_ok  # absurd batch routes to XLA
+    # an absurd odd batch cannot be halved into blocks -> routes to XLA
+    big = VectorizedLOSOTrainer(model, ds, 4, 8, batch_size=999_999,
+                                seed=0)
+    assert not big._fused_lstm_ok
     # the gated trainer still builds and runs a step program
     m = small.train_epoch()
     assert np.isfinite(m["loss"]).all()
