@@ -28,12 +28,29 @@ Secondary configs (logged to stderr and carried in the JSON line's
   throughput over a scan of distinct batches (distinct per invocation:
   the TPU tunnel memoizes byte-identical executions, so pure-fn timing
   loops must vary their inputs);
+- ``*_b128`` / ``*_b256`` — the same fused program at per-model batch 128
+  (fp32 + bf16) and 256 (fp32): MFU is a workload property and B=64 is
+  kept reference-faithful for the headline, but larger batches are the
+  measured-better deployment configs (round-3 sweep
+  ``scripts/bench_batch_scaling.py``: fp32 B=128 50.7k samples/s at
+  MFU 15.0%); fp32 B=256 additionally exercises the v8 batch-blocked
+  LSTM backward that removed the 146M/128M scoped-VMEM cliff;
+- ``vloso_fp32_es`` — the early-stop/plateau-LR program
+  (``--early-stop`` semantics: per-epoch held-out eval + (S,) schedule
+  lanes inside the fused scan), same throughput unit;
 - ``*_mfu``       — model FLOP utilization per config: XLA cost-analysis
   FLOPs of the un-scanned step, lowered for the CPU backend (the axon TPU
   backend's lowered cost_analysis yields nothing; the count is platform-
   independent) with the Pallas LSTM dispatch off (cost analysis cannot
   see into custom calls), divided by elapsed time and the chip's bf16
   peak (conservative for the fp32 config).
+
+Measurement method (round 4): every training config's timed window is the
+MIN over ``REPS=3`` back-to-back invocations of the compiled multi-epoch
+program (state chains forward between invocations, so the tunnel cannot
+memoize and each window is a genuine re-execution). BENCH_r03 recorded
+~10% run-to-run variance on a single-window bf16 number vs the same-day
+in-repo measurement; min-of-3 brings repeat-run agreement within ~3%.
 
 ``vs_baseline`` is the speedup over the 33.5 samples/s midpoint.
 
@@ -67,6 +84,7 @@ if _cache_on():
 BASELINE_SAMPLES_PER_SEC = 33.5  # reference end-to-end LOSO training rate
 BATCH = 64
 TIMED_EPOCHS = 20
+REPS = 3  # timed windows per training config; the metric is their min
 PHASED_WARM = 2
 PHASED_TIMED = 10
 SERVE_K = 100  # batches per serving scan
@@ -168,15 +186,17 @@ def _train_step_flops(trainer) -> float | None:
 
 
 def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None,
-                      moment_dtype=None):
+                      moment_dtype=None, batch=BATCH, reps=REPS):
     """Compile the fused E-epoch LOSO program AOT, run one warm-up
-    invocation, then time one. Returns (samples/sec, mfu or None)."""
+    invocation, then take the MIN wall-clock over ``reps`` timed
+    invocations (state chains between them — genuine re-executions the
+    tunnel cannot memoize). Returns (samples/sec, mfu or None, trainer)."""
     import jax
 
     from multimodal_sentiment_aanalysis_tpu.train import VectorizedLOSOTrainer
 
     trainer = VectorizedLOSOTrainer(
-        model_cls(), ds, n_subjects, 20, batch_size=BATCH,
+        model_cls(), ds, n_subjects, 20, batch_size=batch,
         compute_dtype=compute_dtype, moment_dtype=moment_dtype,
     )
     fused = trainer._build_fused(TIMED_EPOCHS)
@@ -195,10 +215,15 @@ def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None,
     log(f"  warm-up invocation ({TIMED_EPOCHS} epochs): "
         f"{time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    p, bs, opt, dk, totals = compiled(p, bs, opt, dk, jax.random.key(8))
-    _sync(p)
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        p, bs, opt, dk, totals = compiled(p, bs, opt, dk,
+                                          jax.random.key(8 + r))
+        _sync(p)
+        window = time.perf_counter() - t0
+        log(f"  window {r + 1}/{reps}: {window:.3f}s")
+        elapsed = min(elapsed, window)
 
     n_train = trainer.train_idx.shape[1]  # valid rows per model-epoch
     nb = -(-n_train // trainer.batch_size)  # wrap-padded batches per epoch
@@ -209,9 +234,38 @@ def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None,
     # keep trainer state for the sanity eval / serving weights
     trainer.params, trainer.batch_stats = p, bs
     log(f"  {TIMED_EPOCHS} epochs x {trainer.n_total} LOSO models in "
-        f"{elapsed:.3f}s -> {sps:.0f} samples/s"
+        f"{elapsed:.3f}s (min of {reps}) -> {sps:.0f} samples/s"
         + (f", MFU {mfu:.2%}" if mfu is not None else ""))
     return sps, mfu, trainer
+
+
+def bench_vloso_early_stop(model_cls, ds, n_subjects):
+    """Throughput of the early-stop/plateau-LR fused program (per-epoch
+    held-out eval + (S,) schedule lanes inside the scan; es_patience set
+    above the window so no subject stops during the measurement — this
+    times the CONTROL overhead, not shortened training)."""
+    import jax
+
+    from multimodal_sentiment_aanalysis_tpu.train import VectorizedLOSOTrainer
+
+    trainer = VectorizedLOSOTrainer(
+        model_cls(), ds, n_subjects, 20, batch_size=BATCH,
+        early_stop=True, es_patience=10 * TIMED_EPOCHS,
+    )
+    t0 = time.perf_counter()
+    trainer.train_epochs_fused(TIMED_EPOCHS)  # compile + warm-up
+    log(f"  compile + warm-up: {time.perf_counter() - t0:.1f}s")
+    elapsed = float("inf")
+    for r in range(REPS):
+        t0 = time.perf_counter()
+        tm = trainer.train_epochs_fused(TIMED_EPOCHS)
+        _sync(trainer.params)
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    n_train = trainer.train_idx.shape[1]
+    sps = TIMED_EPOCHS * trainer.n_total * n_train / elapsed
+    log(f"  {TIMED_EPOCHS} early-stop epochs x {trainer.n_total} models in "
+        f"{elapsed:.3f}s (min of {REPS}) -> {sps:.0f} samples/s")
+    return sps
 
 
 def bench_phased(model_cls, full_ds, n_subjects, ex_nums):
@@ -374,7 +428,7 @@ def main() -> None:
     ds = DeviceDataset(arrays)
     extra: dict[str, float] = {}
 
-    log("[1/4] fused vectorized-LOSO training, fp32 (headline)")
+    log("[1/7] fused vectorized-LOSO training, fp32 (headline)")
     sps_fp32, mfu_fp32, trainer = bench_fused_vloso(
         MultimodalTransformerModel, ds, n_subjects, peak
     )
@@ -386,7 +440,7 @@ def main() -> None:
     log(f"  sanity eval: mean arousal acc {acc:.2%}")
     extra["vloso_fp32_sanity_arousal_acc"] = round(acc, 4)
 
-    log("[2/4] fused vectorized-LOSO training, bf16 compute")
+    log("[2/7] fused vectorized-LOSO training, bf16 compute")
     try:
         sps_bf16, mfu_bf16, trainer16 = bench_fused_vloso(
             MultimodalTransformerModel, ds, n_subjects, peak,
@@ -401,7 +455,36 @@ def main() -> None:
     except Exception as e:  # never lose the headline to a secondary config
         log(f"  bf16 config failed: {e!r}")
 
-    log("[3/4] vectorized phased-curriculum training (all subjects)")
+    # batch-scaling configs: B=64 stays the reference-faithful headline;
+    # these publish the measured-better deployment points (and fp32 B=256
+    # exercises the v8 batch-blocked LSTM backward that replaced the
+    # scoped-VMEM cliff).
+    for tag, b, cdt, mdt in (
+        ("vloso_fp32_b128", 128, None, None),
+        ("vloso_bf16_b128", 128, "bfloat16", "bfloat16"),
+        ("vloso_fp32_b256", 256, None, None),
+    ):
+        log(f"[3/7] batch-scaling config {tag}")
+        try:
+            sps_b, mfu_b, _ = bench_fused_vloso(
+                MultimodalTransformerModel, ds, n_subjects, peak,
+                compute_dtype=cdt, moment_dtype=mdt, batch=b, reps=2,
+            )
+            extra[f"{tag}_samples_per_sec"] = round(sps_b, 1)
+            if mfu_b is not None:
+                extra[f"{tag}_mfu"] = round(mfu_b, 4)
+        except Exception as e:
+            log(f"  {tag} failed: {e!r}")
+
+    log("[4/7] early-stop/plateau-LR fused program (control overhead)")
+    try:
+        extra["vloso_fp32_es_samples_per_sec"] = round(
+            bench_vloso_early_stop(MultimodalTransformerModel, ds,
+                                   n_subjects), 1)
+    except Exception as e:
+        log(f"  early-stop config failed: {e!r}")
+
+    log("[5/7] vectorized phased-curriculum training (all subjects)")
     try:
         extra["phased_samples_per_sec"] = round(
             bench_phased(MultimodalTransformerModel, ds, n_subjects, ex_nums), 1
@@ -409,7 +492,7 @@ def main() -> None:
     except Exception as e:
         log(f"  phased config failed: {e!r}")
 
-    log("[4/4] serving forward")
+    log("[6/7] serving forward")
     try:
         lat_ms, serve_sps, serve_mfu, serve_sps16 = bench_serving(
             trainer, ds, peak)

@@ -36,10 +36,15 @@ def _load_arrays(args) -> tuple[dict, int]:
 
     if getattr(args, "tiny", False):
         # smoke mode: 3 subjects x 8 trials, EEG time sliced to 64 —
-        # pairs with the shrunken model dims from _model_kwargs
+        # pairs with the shrunken model dims from _model_kwargs. A --data
+        # pickle (same tiny shape) still loads, so the on-disk ingest path
+        # (RawData, reference data/RawData.py:29-38) is CI-testable.
         args.ex_nums = 8
-        data = make_synthetic_hci_data(seed=args.seed, n_subjects=3,
-                                       ex_nums=8)
+        if args.data and not args.synthetic:
+            data = RawData(args.data).data
+        else:
+            data = make_synthetic_hci_data(seed=args.seed, n_subjects=3,
+                                           ex_nums=8)
     elif args.synthetic or not args.data:
         data = make_synthetic_hci_data(seed=args.seed)
     else:
@@ -399,19 +404,29 @@ def cmd_vloso(args) -> None:
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else None,
         mesh=mesh,
+        early_stop=args.early_stop,
+        es_patience=args.es_patience,
     )
     if getattr(args, "resume", None):
         trainer.restore_state(args.resume)
         print(f"resumed from {args.resume}")
-    res = trainer.run(args.epochs[0], verbose=not args.quiet, fused=args.fused)
-    if getattr(args, "save_state", None):
-        print(f"state saved to {trainer.save_state(args.save_state)}")
-    _write_results(args, {
+    res = trainer.run(
+        args.epochs[0], verbose=not args.quiet, fused=args.fused,
+        chunk=args.chunk,
+    )
+    out = {
         "mean_arousal_acc": res["mean_arousal_acc"],
         "mean_valence_acc": res["mean_valence_acc"],
         "per_subject_arousal": [float(x) for x in res["per_subject_arousal"]],
         "per_subject_valence": [float(x) for x in res["per_subject_valence"]],
-    })
+    }
+    if args.early_stop:
+        out["stop_epochs"] = [int(x) for x in res["stop_epochs"]]
+        out["final_arousal_acc"] = res["final_arousal_acc"]
+        out["final_valence_acc"] = res["final_valence_acc"]
+    if getattr(args, "save_state", None):
+        print(f"state saved to {trainer.save_state(args.save_state)}")
+    _write_results(args, out)
 
 
 def cmd_memhacl(args) -> None:
@@ -673,6 +688,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--fused", action="store_true",
                    help="compile all epochs into ONE program with on-device "
                         "batch plans (no host work in the loop)")
+    p.add_argument("--early-stop", action="store_true", dest="early_stop",
+                   help="per-subject early stopping (patience 5, best-"
+                        "checkpoint capture) + ReduceLROnPlateau, the "
+                        "reference Trainer's semantics, run INSIDE the "
+                        "fused program as (S,) schedule lanes; --epochs "
+                        "becomes an upper bound")
+    p.add_argument("--es-patience", type=int, default=5, dest="es_patience",
+                   help="early-stop patience (reference default 5)")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="with --early-stop --fused: epochs per compiled "
+                        "chunk (default 8); the run exits at the first "
+                        "chunk boundary where every subject has stopped")
     p.add_argument("--save-state", default=None, dest="save_state",
                    help="write a full-state resume checkpoint (params, BN "
                         "stats, optimizer, RNG streams for all models) "

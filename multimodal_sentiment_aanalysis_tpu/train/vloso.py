@@ -31,6 +31,23 @@ wrap-pad + mask inside jit). This removes every host round-trip from the
 training loop. Both plan paths (host and on-device) cover ALL train rows
 each epoch via the same wrap-pad + mask scheme, so they train on the same
 data distribution and differ only in where the shuffle runs.
+
+Early stopping + plateau LR (``early_stop=True``): the reference's LOSO
+experiment early-stops each subject on its held-out loss (patience 5,
+best-checkpoint save, ``Trainer.py:107-117``) and halves the LR on plateau
+(patience 3, ``Trainer.py:28``) — its run logs show subjects stopping
+anywhere from epoch 7 to 30. Vectorized, that control flow moves INSIDE
+the jitted epoch scan as per-subject ``(S,)`` lanes
+(:func:`..utils.schedule.vector_schedule_step`): a ``stopped`` flag that
+folds into the per-batch update select (a stopped subject's params,
+optimizer state and BN stats freeze exactly as if its sequential loop had
+``break``-ed), a per-subject LR vector living in the optimizer state
+(``optax.inject_hyperparams`` — under ``vmap`` each model reads its own
+lane), per-epoch held-out loss evaluated inside the program, and
+best-params snapshots taken branchlessly on improvement lanes. The fixed
+epoch count becomes an upper bound; :meth:`run` executes the fused program
+in chunks and exits once every subject has stopped, recovering the
+sequential driver's wall-clock saving without leaving the fused regime.
 """
 
 from __future__ import annotations
@@ -47,10 +64,12 @@ from ..data.pipeline import DeviceDataset, epoch_plan_on_device
 from ..data.splits import loso_split
 from ..ops.losses import masked_accuracy, masked_cross_entropy
 from ..ops.rnn import wrap_with_dispatch
+from ..utils.schedule import vector_schedule_init, vector_schedule_step
 from .state import (
     adamw_lowp,
     cast_floating,
     clip_by_global_norm,
+    set_learning_rate,
     strong_typed,
 )
 
@@ -78,6 +97,10 @@ class VectorizedLOSOTrainer:
         compute_dtype: str | None = None,
         moment_dtype: str | None = None,
         mesh: Mesh | None = None,
+        early_stop: bool = False,
+        es_patience: int = 5,
+        plateau_patience: int = 3,
+        plateau_factor: float = 0.5,
     ):
         # compute_dtype='bfloat16' runs forward/backward in bf16 at native
         # MXU rate while AdamW keeps float32 master params; losses and
@@ -144,7 +167,33 @@ class VectorizedLOSOTrainer:
             },
         }
 
-        if moment_dtype is None:
+        self.early_stop = early_stop
+        self._es_cfg = dict(
+            es_patience=es_patience,
+            plateau_patience=plateau_patience,
+            plateau_factor=plateau_factor,
+        )
+        if early_stop:
+            # per-subject LR lives IN the optimizer state: inject_hyperparams
+            # makes learning_rate a state leaf, vmap(init) stacks it to (S,),
+            # and each vmapped model's update reads its own lane — plateau
+            # decisions per subject without recompiling anything.
+            if moment_dtype is None:
+                self.tx = optax.inject_hyperparams(optax.adamw)(
+                    learning_rate=lr, weight_decay=weight_decay
+                )
+            else:
+                self.tx = optax.inject_hyperparams(
+                    adamw_lowp, static_args=("moment_dtype",)
+                )(
+                    lr, weight_decay=weight_decay,
+                    moment_dtype=jnp.dtype(moment_dtype),
+                )
+            self.sched = vector_schedule_init(self.n_total, lr)
+            self.best_params = self.params
+            self.best_stats = self.batch_stats
+            self._epochs_run = 0
+        elif moment_dtype is None:
             self.tx = optax.adamw(lr, weight_decay=weight_decay)
         else:
             self.tx = adamw_lowp(
@@ -188,10 +237,15 @@ class VectorizedLOSOTrainer:
             self.batch_stats = put(self.batch_stats)
             self.opt_state = put(self.opt_state)
             self.dropout_keys = jax.device_put(self.dropout_keys, self._shard)
+            if early_stop:
+                self.sched = put(self.sched)
+                self.best_params = put(self.best_params)
+                self.best_stats = put(self.best_stats)
 
         self._train_epoch_fn = self._build_train_epoch()
         self._eval_fn = self._build_eval()
         self._fused_fns: dict[int, Callable] = {}
+        self._fused_es_fns: dict[int, Callable] = {}
         self._fused_key = jax.random.key(seed + 2, impl="rbg")
 
     # ------------------------------------------------------------------
@@ -232,9 +286,12 @@ class VectorizedLOSOTrainer:
         return loss, (new_bs, metrics)
 
     def _one_model_epoch(self, params, batch_stats, opt_state, key,
-                         plan_idx, plan_mask):
+                         plan_idx, plan_mask, active):
         """Scan over one model's batches; plan_idx (nb, B) rows index the
-        shared dataset, plan_mask (nb, B) flags valid (non-wrap-pad) rows."""
+        shared dataset, plan_mask (nb, B) flags valid (non-wrap-pad) rows.
+        ``active`` (scalar bool per model) folds into the NaN-skip select:
+        an early-stopped subject's state freezes — the vectorized analog of
+        its sequential loop having ``break``-ed out."""
         tx, clip_norm = self.tx, self.clip_norm
         arrays = self.data.arrays
 
@@ -250,7 +307,7 @@ class VectorizedLOSOTrainer:
             grads, _ = clip_by_global_norm(grads, clip_norm)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            ok = jnp.isfinite(loss)
+            ok = jnp.isfinite(loss) & active
             sel = lambda new, old: jnp.where(ok, new, old)
             params = jax.tree.map(sel, new_params, params)
             opt_state = jax.tree.map(sel, new_opt, opt_state)
@@ -273,7 +330,7 @@ class VectorizedLOSOTrainer:
         s = self._shard
         return jax.jit(
             fn,
-            in_shardings=(s, s, s, s, s, s),
+            in_shardings=(s, s, s, s, s, s, s),
             out_shardings=(s, s, s, s, s),
         )
 
@@ -326,6 +383,13 @@ class VectorizedLOSOTrainer:
 
     def train_epoch(self) -> dict[str, np.ndarray]:
         plans, masks = self._epoch_plans()
+        active = (
+            ~self.sched["stopped"]
+            if self.early_stop
+            else jnp.ones((self.n_total,), bool)
+        )
+        if self._shard is not None:
+            active = jax.device_put(active, self._shard)
         (
             self.params,
             self.batch_stats,
@@ -335,6 +399,7 @@ class VectorizedLOSOTrainer:
         ) = self._train_epoch_fn(
             self.params, self.batch_stats, self.opt_state,
             self.dropout_keys, jnp.asarray(plans), jnp.asarray(masks),
+            active,
         )
         totals = jax.device_get(totals)
         n = np.maximum(totals.pop("n"), 1.0)
@@ -362,8 +427,10 @@ class VectorizedLOSOTrainer:
                     return rows[idx], m
 
                 plans, masks = jax.vmap(plan_one)(subj_keys, train_rows)
+                active = jnp.ones((train_rows.shape[0],), bool)
                 params, batch_stats, opt_state, dkeys, totals = epoch_fn(
-                    params, batch_stats, opt_state, dkeys, plans, masks
+                    params, batch_stats, opt_state, dkeys, plans, masks,
+                    active,
                 )
                 return (params, batch_stats, opt_state, dkeys), totals
 
@@ -384,11 +451,151 @@ class VectorizedLOSOTrainer:
             out_shardings=(s, s, s, s, epoch_s),
         )
 
+    # ------------------------------------------------------------------
+    # early-stop / plateau-LR machinery (module docstring; reference
+    # Trainer.py:28,107-117 — the sequential driver's per-epoch test()
+    # feeding its scheduler and early stop)
+    def _one_model_te_loss(self, params, batch_stats, tidx):
+        """One model's held-out loss + accuracies (eval mode; the 20 LOSO
+        test rows fit a single batch). Matches the sequential engine's
+        test objective: CE(both heads) + w * (3x InfoNCE)."""
+        arrays = self.data.arrays
+        batch = {k: jnp.take(v, tidx, axis=0) for k, v in arrays.items()}
+        mask = jnp.ones(tidx.shape[0], jnp.float32)
+        outs = self.model.apply(
+            {"params": params["model"], "batch_stats": batch_stats},
+            batch["eeg"], batch["eye"], batch["pps"],
+            labels=(batch["arousal"], batch["valence"], mask),
+        )
+        arousal, valence, c1, c2, c3 = outs
+        arousal = jnp.nan_to_num(arousal).astype(jnp.float32)
+        valence = jnp.nan_to_num(valence).astype(jnp.float32)
+        c1, c2, c3 = (x.astype(jnp.float32) for x in (c1, c2, c3))
+        ce = masked_cross_entropy(arousal, batch["arousal"], mask) + \
+            masked_cross_entropy(valence, batch["valence"], mask)
+        loss = ce + params["trainer"]["contrastive_weight"][0] * (c1 + c2 + c3)
+        return {
+            "te_loss": loss,
+            "te_a_acc": masked_accuracy(arousal, batch["arousal"], mask),
+            "te_v_acc": masked_accuracy(valence, batch["valence"], mask),
+        }
+
+    def _snap_best(self, improved, best_params, best_stats, params,
+                   batch_stats):
+        """Branchless per-subject best-checkpoint capture: lanes whose
+        held-out loss just improved copy current state into the best
+        buffers (the sequential driver's best_model.msgpack save)."""
+        pick = lambda b, p: jnp.where(
+            improved.reshape((-1,) + (1,) * (p.ndim - 1)), p, b
+        )
+        return (
+            jax.tree.map(pick, best_params, params),
+            jax.tree.map(pick, best_stats, batch_stats),
+        )
+
+    def _build_fused_es(self, n_epochs: int) -> Callable:
+        """E epochs as ONE jitted program with the per-subject early-stop +
+        plateau-LR control INSIDE the epoch scan (see module docstring)."""
+        n_train = self.train_idx.shape[1]
+        bsz = self.batch_size
+        train_rows = jnp.asarray(self.train_idx)  # (S, n_train)
+        test_rows = jnp.asarray(self.test_idx)  # (S, ex_nums)
+        if self.mesh is not None:
+            train_rows = jax.device_put(train_rows, self._shard)
+            test_rows = jax.device_put(test_rows, self._shard)
+        epoch_fn = jax.vmap(self._one_model_epoch)
+        te_fn = jax.vmap(self._one_model_te_loss)
+        cfg = self._es_cfg
+
+        def fused(params, batch_stats, opt_state, dkeys, plan_key, epoch0,
+                  sched, best_params, best_stats):
+            def epoch_body(carry, xs):
+                (params, batch_stats, opt_state, dkeys,
+                 sched, best_params, best_stats) = carry
+                eidx, ekey = xs
+                subj_keys = jax.random.split(ekey, train_rows.shape[0])
+
+                def plan_one(k, rows):
+                    idx, m = epoch_plan_on_device(k, n_train, bsz)
+                    return rows[idx], m
+
+                plans, masks = jax.vmap(plan_one)(subj_keys, train_rows)
+                active = ~sched["stopped"]
+                params, batch_stats, opt_state, dkeys, totals = epoch_fn(
+                    params, batch_stats, opt_state, dkeys, plans, masks,
+                    active,
+                )
+                te = te_fn(params, batch_stats, test_rows)
+                sched, improved = vector_schedule_step(
+                    sched, te["te_loss"], eidx,
+                    es_patience=cfg["es_patience"],
+                    plateau_patience=cfg["plateau_patience"],
+                    plateau_factor=cfg["plateau_factor"],
+                )
+                # next epoch's per-subject LR rides the optimizer state
+                opt_state = set_learning_rate(opt_state, sched["lr"])
+                best_params, best_stats = self._snap_best(
+                    improved, best_params, best_stats, params, batch_stats
+                )
+                out = {**totals, **te, "lr": sched["lr"],
+                       "stopped": sched["stopped"]}
+                return (params, batch_stats, opt_state, dkeys,
+                        sched, best_params, best_stats), out
+
+            ekeys = jax.random.split(plan_key, n_epochs)
+            eidxs = epoch0 + 1 + jnp.arange(n_epochs, dtype=jnp.int32)
+            return jax.lax.scan(
+                epoch_body,
+                (params, batch_stats, opt_state, dkeys, sched, best_params,
+                 best_stats),
+                (eidxs, ekeys),
+            )
+
+        fused = wrap_with_dispatch(fused, self._fused_lstm_ok)
+        if self.mesh is None:
+            return jax.jit(fused)
+        s, r = self._shard, self._repl
+        epoch_s = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+        return jax.jit(
+            fused,
+            in_shardings=(s, s, s, s, r, r, s, s, s),
+            out_shardings=((s, s, s, s, s, s, s), epoch_s),
+        )
+
+    def _train_epochs_fused_es(self, n_epochs: int) -> dict[str, np.ndarray]:
+        if n_epochs not in self._fused_es_fns:
+            self._fused_es_fns[n_epochs] = self._build_fused_es(n_epochs)
+        self._fused_key, k = jax.random.split(self._fused_key)
+        carry, outs = self._fused_es_fns[n_epochs](
+            self.params, self.batch_stats, self.opt_state,
+            self.dropout_keys, k, jnp.asarray(self._epochs_run, jnp.int32),
+            self.sched, self.best_params, self.best_stats,
+        )
+        (
+            self.params, self.batch_stats, self.opt_state,
+            self.dropout_keys, self.sched, self.best_params,
+            self.best_stats,
+        ) = carry
+        self._epochs_run += n_epochs
+        outs = jax.device_get(outs)
+        n = np.maximum(outs.pop("n"), 1.0)
+        result = {}
+        for k_, v in outs.items():
+            if k_ in ("loss", "a_acc", "v_acc"):
+                v = v / n  # per-sample means from masked sums
+            result[k_] = v[:, : self.n_subjects]
+        return result
+
     def train_epochs_fused(self, n_epochs: int) -> dict[str, np.ndarray]:
         """Run ``n_epochs`` epochs in one compiled program; returns per-epoch
         per-subject mean metrics, (E, S) each. Plan shuffling uses an
         on-device PRNG stream (deterministic in ``seed``, independent of the
-        host stream :meth:`train_epoch` consumes)."""
+        host stream :meth:`train_epoch` consumes). With ``early_stop`` the
+        program additionally carries the per-subject schedule state and the
+        result gains ``te_loss``/``te_a_acc``/``te_v_acc``/``lr``/``stopped``
+        per-epoch lanes."""
+        if self.early_stop:
+            return self._train_epochs_fused_es(n_epochs)
         if n_epochs not in self._fused_fns:
             self._fused_fns[n_epochs] = self._build_fused(n_epochs)
         self._fused_key, k = jax.random.split(self._fused_key)
@@ -423,7 +630,7 @@ class VectorizedLOSOTrainer:
     def _state_tree(self) -> dict:
         import json
 
-        return {
+        tree = {
             "params": self.params,
             "batch_stats": self.batch_stats,
             "opt_state": self.opt_state,
@@ -432,9 +639,17 @@ class VectorizedLOSOTrainer:
             # JSON leaf: host-RNG state is a variable structure msgpack
             # restore couldn't type (same convention as engine.save_state)
             "host": json.dumps(
-                {"rng_state": self.host_rng.bit_generator.state}
+                {
+                    "rng_state": self.host_rng.bit_generator.state,
+                    "epochs_run": getattr(self, "_epochs_run", 0),
+                }
             ),
         }
+        if self.early_stop:
+            tree["sched"] = self.sched
+            tree["best_params"] = self.best_params
+            tree["best_stats"] = self.best_stats
+        return tree
 
     def save_state(self, path: str) -> str:
         """Serialize ALL 24 models' params, BN stats, optimizer states and
@@ -461,6 +676,11 @@ class VectorizedLOSOTrainer:
         host = json.loads(tree["host"])
         self.host_rng = np.random.default_rng()
         self.host_rng.bit_generator.state = host["rng_state"]
+        if self.early_stop:
+            self.sched = tree["sched"]
+            self.best_params = tree["best_params"]
+            self.best_stats = tree["best_stats"]
+            self._epochs_run = int(host.get("epochs_run", 0))
         if self.mesh is not None:  # re-place the subject shards
             put = lambda t: jax.tree.map(
                 lambda x: jax.device_put(x, self._shard), t
@@ -469,19 +689,158 @@ class VectorizedLOSOTrainer:
             self.batch_stats = put(self.batch_stats)
             self.opt_state = put(self.opt_state)
             self.dropout_keys = jax.device_put(self.dropout_keys, self._shard)
+            if self.early_stop:
+                self.sched = put(self.sched)
+                self.best_params = put(self.best_params)
+                self.best_stats = put(self.best_stats)
 
-    def evaluate(self) -> dict[str, np.ndarray]:
-        """Per-subject held-out accuracies, (S,) each."""
+    def evaluate(self, best: bool = False) -> dict[str, np.ndarray]:
+        """Per-subject held-out accuracies, (S,) each. ``best=True``
+        evaluates each subject's best-checkpoint snapshot (what the
+        reference's Tester loads after early-stopped training) instead of
+        the final params."""
+        if best and not self.early_stop:
+            raise ValueError("best=True requires early_stop=True")
+        params = self.best_params if best else self.params
+        stats = self.best_stats if best else self.batch_stats
         test_idx = jnp.asarray(self.test_idx)
-        out = jax.device_get(
-            self._eval_fn(self.params, self.batch_stats, test_idx)
-        )
+        if self._shard is not None:
+            test_idx = jax.device_put(test_idx, self._shard)
+        out = jax.device_get(self._eval_fn(params, stats, test_idx))
         return {k: v[: self.n_subjects] for k, v in out.items()}
 
+    # ------------------------------------------------------------------
+    def _host_es_epoch(self, epoch_num: int) -> dict[str, np.ndarray]:
+        """One early-stop epoch on the non-fused path: train (stopped
+        subjects frozen via the active lane), evaluate held-out loss, then
+        advance the schedule state eagerly with the SAME transition the
+        fused program scans over."""
+        tm = self.train_epoch()
+        test_rows = jnp.asarray(self.test_idx)
+        if self._shard is not None:
+            test_rows = jax.device_put(test_rows, self._shard)
+        if not hasattr(self, "_te_fn"):
+            fn = wrap_with_dispatch(
+                jax.vmap(self._one_model_te_loss), self._fused_lstm_ok
+            )
+            if self.mesh is None:
+                self._te_fn = jax.jit(fn)
+            else:
+                s = self._shard
+                self._te_fn = jax.jit(
+                    fn, in_shardings=(s, s, s), out_shardings=s
+                )
+        te = self._te_fn(self.params, self.batch_stats, test_rows)
+        self.sched, improved = vector_schedule_step(
+            self.sched, te["te_loss"], epoch_num, **{
+                "es_patience": self._es_cfg["es_patience"],
+                "plateau_patience": self._es_cfg["plateau_patience"],
+                "plateau_factor": self._es_cfg["plateau_factor"],
+            }
+        )
+        self.opt_state = set_learning_rate(self.opt_state, self.sched["lr"])
+        self.best_params, self.best_stats = self._snap_best(
+            improved, self.best_params, self.best_stats,
+            self.params, self.batch_stats,
+        )
+        self._epochs_run = epoch_num
+        te = jax.device_get(te)
+        return {**tm, **{k: v[: self.n_subjects] for k, v in te.items()}}
+
+    def stop_report(self) -> str:
+        """Per-subject stop-epoch distribution, the vectorized analog of
+        the reference run log's per-subject 'Early stopping triggered at
+        epoch N' lines (train.txt)."""
+        stop = np.asarray(jax.device_get(self.sched["stop_epoch"]))
+        stop = stop[: self.n_subjects]
+        lines = [
+            f"  subject {s}: "
+            + (f"early-stopped at epoch {int(e)}" if e > 0
+               else f"ran all {self._epochs_run} epochs")
+            for s, e in enumerate(stop)
+        ]
+        stopped = stop[stop > 0]
+        head = (
+            f"Early stopping: {stopped.size}/{stop.size} subjects stopped"
+            + (f" (epochs {int(stopped.min())}-{int(stopped.max())}, "
+               f"median {float(np.median(stopped)):.1f})"
+               if stopped.size else "")
+        )
+        return "\n".join([head] + lines)
+
     def run(
-        self, epochs: int, verbose: bool = True, fused: bool = False
+        self,
+        epochs: int,
+        verbose: bool = True,
+        fused: bool = False,
+        chunk: int | None = None,
     ) -> dict[str, float]:
-        """Train all LOSO models; returns mean held-out accuracies."""
+        """Train all LOSO models; returns mean held-out accuracies.
+
+        With ``early_stop``, ``epochs`` is an upper bound: the fused path
+        runs the compiled E-epoch program in chunks (``chunk``, default 8 —
+        one compile, reused) and exits once every subject's early stop has
+        triggered; the result additionally carries per-subject stop epochs
+        and best-checkpoint accuracies (the reference driver's semantics,
+        ``Trainer.py:107-117`` + ``main.py:62-68``)."""
+        if self.early_stop:
+            tm = None
+            if fused:
+                chunk = min(chunk or 8, epochs)
+                done = 0
+                while done < epochs:
+                    n = min(chunk, epochs - done)
+                    tm = self.train_epochs_fused(n)
+                    for e in range(n):
+                        done += 1
+                        if verbose:
+                            n_stop = int(tm["stopped"][e].sum())
+                            print(
+                                f"Epoch {done}: mean train loss "
+                                f"{tm['loss'][e].mean():.4f} te_loss "
+                                f"{tm['te_loss'][e].mean():.4f} "
+                                f"stopped {n_stop}/{self.n_subjects}"
+                            )
+                    if bool(np.asarray(tm["stopped"][-1]).all()):
+                        break
+            else:
+                for epoch in range(1, epochs + 1):
+                    tm = self._host_es_epoch(epoch)
+                    if verbose:
+                        stopped = np.asarray(
+                            jax.device_get(self.sched["stopped"])
+                        )[: self.n_subjects]
+                        print(
+                            f"Epoch {epoch}: mean train loss "
+                            f"{tm['loss'].mean():.4f} te_loss "
+                            f"{tm['te_loss'].mean():.4f} "
+                            f"stopped {int(stopped.sum())}/{self.n_subjects}"
+                        )
+                    if bool(np.asarray(
+                            jax.device_get(self.sched["stopped"])).all()):
+                        break
+            if verbose:
+                print(self.stop_report())
+            ev = self.evaluate(best=True)
+            final = self.evaluate()
+            result = {
+                "mean_arousal_acc": float(ev["a_acc"].mean()),
+                "mean_valence_acc": float(ev["v_acc"].mean()),
+                "per_subject_arousal": ev["a_acc"],
+                "per_subject_valence": ev["v_acc"],
+                "final_arousal_acc": float(final["a_acc"].mean()),
+                "final_valence_acc": float(final["v_acc"].mean()),
+                "stop_epochs": np.asarray(
+                    jax.device_get(self.sched["stop_epoch"])
+                )[: self.n_subjects],
+            }
+            if verbose:
+                print(
+                    f"LOSO mean (best checkpoints): arousal "
+                    f"{result['mean_arousal_acc']:.2%} valence "
+                    f"{result['mean_valence_acc']:.2%}"
+                )
+            return result
         if fused:
             tm = self.train_epochs_fused(epochs)
             if verbose:

@@ -265,3 +265,168 @@ def test_fused_lstm_vmem_gate():
     # the gated trainer still builds and runs a step program
     m = small.train_epoch()
     assert np.isfinite(m["loss"]).all()
+
+
+# ---------------------------------------------------------------------------
+# early stopping + plateau LR (reference Trainer.py:28,107-117 — the
+# vectorized form runs the whole control loop inside the fused program)
+# ---------------------------------------------------------------------------
+
+
+def test_vector_schedule_matches_host_classes(rng):
+    """Fast, pure: the branchless (S,)-lane transition reproduces the host
+    ReduceLROnPlateau + EarlyStopping dataclasses decision-for-decision in
+    the exact calling pattern of engine.Trainer.run (scheduler finite-
+    gated, early stop ungated, loop break on stop) — over random loss
+    sequences including improving trends and a NaN epoch."""
+    import jax.numpy as jnp
+
+    from multimodal_sentiment_aanalysis_tpu.utils.schedule import (
+        EarlyStopping,
+        ReduceLROnPlateau,
+        vector_schedule_init,
+        vector_schedule_step,
+    )
+
+    n_lanes, n_epochs, lr0 = 16, 40, 1e-3
+    losses = rng.normal(1.0, 0.3, size=(n_epochs, n_lanes)).astype(
+        np.float32
+    )
+    losses[:, :4] -= np.linspace(0, 1, n_epochs)[:, None]  # keep improving
+    losses[5, 6] = np.nan  # scheduler must skip, early stop must count
+
+    state = vector_schedule_init(n_lanes, lr0)
+    lr_hist, stop_hist, best_hist = [], [], []
+    for e in range(n_epochs):
+        state, improved = vector_schedule_step(
+            state, jnp.asarray(losses[e]), e + 1
+        )
+        lr_hist.append(np.asarray(state["lr"]))
+        stop_hist.append(np.asarray(state["stopped"]))
+        best_hist.append(np.asarray(improved))
+    stop_epoch = np.asarray(state["stop_epoch"])
+
+    for lane in range(n_lanes):
+        sch = ReduceLROnPlateau(lr=lr0, patience=3, factor=0.5)
+        early = EarlyStopping(patience=5)
+        host_stop = 0
+        for e in range(n_epochs):
+            te = float(losses[e, lane])
+            if np.isfinite(te):
+                sch.step(te)
+            saved = early.step(te)
+            assert lr_hist[e][lane] == np.float32(sch.lr), (lane, e)
+            assert best_hist[e][lane] == saved, (lane, e)
+            if early.should_stop:
+                host_stop = e + 1
+                break
+        assert stop_epoch[lane] == host_stop, lane
+        if host_stop:  # lanes freeze exactly at the host's break point
+            assert stop_hist[host_stop - 1][lane]
+            for e in range(host_stop, n_epochs):
+                assert lr_hist[e][lane] == lr_hist[host_stop - 1][lane]
+
+
+@pytest.mark.slow
+class TestVLOSOEarlyStop:
+    def _es_trainer(self, rng, **kw):
+        arrays = _tiny_arrays(rng)
+        return VectorizedLOSOTrainer(
+            MultimodalTransformerModel(feat_dim=16, eeg_time=16),
+            DeviceDataset(arrays), 4, 8, batch_size=8, seed=0,
+            early_stop=True, es_patience=2, **kw,
+        )
+
+    def test_fused_program_matches_host_replay(self, rng):
+        """The fused program's in-scan schedule decisions, replayed on the
+        host dataclasses over the program's own recorded te_loss history,
+        agree on every subject's stop epoch and LR trajectory — i.e. the
+        vectorized trainer stops exactly where the sequential engine would
+        on the same losses."""
+        from multimodal_sentiment_aanalysis_tpu.utils.schedule import (
+            EarlyStopping,
+            ReduceLROnPlateau,
+        )
+
+        t = self._es_trainer(rng)
+        E = 10
+        tm = t.train_epochs_fused(E)
+        te, lrs = tm["te_loss"], tm["lr"]
+        stop_epoch = np.asarray(jax.device_get(t.sched["stop_epoch"]))
+
+        for s in range(t.n_subjects):
+            sch = ReduceLROnPlateau(lr=1e-4, patience=3, factor=0.5)
+            early = EarlyStopping(patience=2)
+            host_stop = 0
+            for e in range(E):
+                v = float(te[e, s])
+                if np.isfinite(v):
+                    sch.step(v)
+                early.step(v)
+                assert np.float32(sch.lr) == lrs[e, s], (s, e)
+                if early.should_stop:
+                    host_stop = e + 1
+                    break
+            assert stop_epoch[s] == host_stop, s
+
+        # stopped subjects are frozen: eval-mode te_loss is deterministic,
+        # so every epoch after the stop must repeat it bit-for-bit
+        for s in range(t.n_subjects):
+            if stop_epoch[s] and stop_epoch[s] < E:
+                frozen = te[stop_epoch[s] - 1, s]
+                np.testing.assert_array_equal(
+                    te[stop_epoch[s]:, s], frozen
+                )
+
+        # best-checkpoint lanes: the captured best equals the min te_loss
+        es_best = np.asarray(jax.device_get(t.sched["es_best"]))
+        for s in range(t.n_subjects):
+            hist = te[: stop_epoch[s] or E, s]
+            assert np.float32(es_best[s]) == np.nanmin(hist), s
+
+    def test_params_freeze_after_all_stopped(self, rng):
+        t = self._es_trainer(rng)
+        t.run(20, verbose=False, fused=True, chunk=5)
+        stopped = np.asarray(jax.device_get(t.sched["stopped"]))
+        if not stopped.all():  # force the remainder to stop
+            while not np.asarray(
+                    jax.device_get(t.sched["stopped"])).all():
+                t.train_epochs_fused(5)
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), t.params)
+        t.train_epochs_fused(2)
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(t.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_run_reports_and_best_eval(self, rng):
+        t = self._es_trainer(rng)
+        res = t.run(8, verbose=False, fused=True, chunk=4)
+        assert res["stop_epochs"].shape == (4,)
+        assert "mean_arousal_acc" in res and "final_arousal_acc" in res
+        rep = t.stop_report()
+        assert "Early stopping:" in rep and "subject 3" in rep
+        ev = t.evaluate(best=True)
+        assert np.isfinite(ev["a_acc"]).all()
+
+    def test_host_path_and_resume(self, rng, tmp_path):
+        """The non-fused path advances the same schedule state eagerly, and
+        a save/restore round-trip carries schedule + best buffers so a
+        resumed run continues identically."""
+        arrays = _tiny_arrays(rng)
+        mk = lambda: VectorizedLOSOTrainer(
+            MultimodalTransformerModel(feat_dim=16, eeg_time=16),
+            DeviceDataset(arrays), 4, 8, batch_size=8, seed=0,
+            early_stop=True, es_patience=2,
+        )
+        t1 = mk()
+        t1._host_es_epoch(1)
+        t1._host_es_epoch(2)
+        path = t1.save_state(str(tmp_path / "es_state"))
+        t2 = mk()
+        t2.restore_state(path)
+        for a, b in zip(
+            jax.tree.leaves(t1.sched), jax.tree.leaves(t2.sched)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        m1 = t1._host_es_epoch(3)
+        m2 = t2._host_es_epoch(3)
+        np.testing.assert_allclose(m1["te_loss"], m2["te_loss"], atol=1e-6)
