@@ -70,6 +70,7 @@ class MultiModalEncoder(nn.Module):
     num_heads: int = 8
     eeg_channels: int = 32
     eeg_time: int = 585
+    dropout: float = 0.4  # the EEG stem's rate (reference default)
 
     @nn.compact
     def __call__(
@@ -78,7 +79,7 @@ class MultiModalEncoder(nn.Module):
     ) -> jnp.ndarray:
         eeg_feat = _l2norm(EEGMultiScaleNet(
             in_channels=self.eeg_channels, time_len=self.eeg_time,
-            feat_dim=self.feat_dim, name="eeg_net",
+            feat_dim=self.feat_dim, dropout=self.dropout, name="eeg_net",
         )(eeg, train=train))
         eye_feat = _l2norm(EyeMLPNet(
             feat_dim=self.feat_dim, name="eye_net")(eye, train=train))
