@@ -396,21 +396,12 @@ def bench_serving(trainer, ds, peak):
     return lat_ms, sps, mfu, sps16
 
 
-def main() -> None:
-    import jax
-
+def _setup_data():
     from multimodal_sentiment_aanalysis_tpu.data import (
         DeviceDataset,
         assemble_features,
         make_synthetic_hci_data,
     )
-    from multimodal_sentiment_aanalysis_tpu.models import (
-        MultimodalTransformerModel,
-    )
-
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} ({dev.device_kind})")
-    peak = PEAK_FLOPS.get(dev.device_kind)
 
     data = make_synthetic_hci_data(seed=42)
     feats, _ = assemble_features(
@@ -424,8 +415,58 @@ def main() -> None:
         "valence": np.asarray(data["valence_label"]).reshape(-1).astype(np.int64),
     }
     ex_nums = 20
-    n_subjects = arrays["arousal"].shape[0] // ex_nums
-    ds = DeviceDataset(arrays)
+    return DeviceDataset(arrays), arrays["arousal"].shape[0] // ex_nums, ex_nums
+
+
+ONE_CONFIGS = {
+    # tag -> (batch, compute_dtype, moment_dtype)
+    "vloso_fp32_b128": (128, None, None),
+    "vloso_bf16_b128": (128, "bfloat16", "bfloat16"),
+    "vloso_fp32_b256": (256, None, None),
+    "vloso_bf16_b256": (256, "bfloat16", "bfloat16"),
+}
+
+
+def run_one(tag: str) -> None:
+    """Run a single secondary config and print its extras as one JSON line
+    (used by main() via subprocess for HBM isolation)."""
+    import jax
+
+    from multimodal_sentiment_aanalysis_tpu.models import (
+        MultimodalTransformerModel,
+    )
+
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    ds, n_subjects, _ = _setup_data()
+    payload: dict[str, float] = {}
+    if tag == "vloso_fp32_es":
+        payload["vloso_fp32_es_samples_per_sec"] = round(
+            bench_vloso_early_stop(MultimodalTransformerModel, ds,
+                                   n_subjects), 1)
+    else:
+        b, cdt, mdt = ONE_CONFIGS[tag]
+        sps_b, mfu_b, _ = bench_fused_vloso(
+            MultimodalTransformerModel, ds, n_subjects, peak,
+            compute_dtype=cdt, moment_dtype=mdt, batch=b, reps=2,
+        )
+        payload[f"{tag}_samples_per_sec"] = round(sps_b, 1)
+        if mfu_b is not None:
+            payload[f"{tag}_mfu"] = round(mfu_b, 4)
+    print(json.dumps(payload))
+
+
+def main() -> None:
+    import jax
+
+    from multimodal_sentiment_aanalysis_tpu.models import (
+        MultimodalTransformerModel,
+    )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} ({dev.device_kind})")
+    peak = PEAK_FLOPS.get(dev.device_kind)
+
+    ds, n_subjects, ex_nums = _setup_data()
     extra: dict[str, float] = {}
 
     log("[1/7] fused vectorized-LOSO training, fp32 (headline)")
@@ -452,37 +493,41 @@ def main() -> None:
         acc16 = float(trainer16.evaluate()["a_acc"].mean())
         log(f"  sanity eval: mean arousal acc {acc16:.2%}")
         extra["vloso_bf16_sanity_arousal_acc"] = round(acc16, 4)
+        del trainer16  # free the stacked params/moments before more configs
     except Exception as e:  # never lose the headline to a secondary config
         log(f"  bf16 config failed: {e!r}")
+    import gc
 
-    # batch-scaling configs: B=64 stays the reference-faithful headline;
-    # these publish the measured-better deployment points (and fp32 B=256
-    # exercises the v8 batch-blocked LSTM backward that replaced the
-    # scoped-VMEM cliff).
-    for tag, b, cdt, mdt in (
-        ("vloso_fp32_b128", 128, None, None),
-        ("vloso_bf16_b128", 128, "bfloat16", "bfloat16"),
-        ("vloso_fp32_b256", 256, None, None),
-    ):
-        log(f"[3/7] batch-scaling config {tag}")
+    gc.collect()
+
+    # Batch-scaling + early-stop configs, each in its OWN subprocess:
+    # B=64 stays the reference-faithful headline; these publish the
+    # measured-better deployment points (and fp32 B=256 exercises the v8
+    # batch-blocked LSTM backward that replaced the scoped-VMEM cliff).
+    # Isolation matters — every config allocates its own 24-model
+    # params+moments, and accumulating them in one process was measured to
+    # RESOURCE_EXHAUST the chip's HBM from the B=256 config on
+    # (2026-08-19); a subprocess releases everything at exit and a failure
+    # cannot poison later configs. The persistent compile cache makes the
+    # re-init cheap on repeat runs.
+    import subprocess
+
+    for i, tag in enumerate((
+        "vloso_fp32_b128", "vloso_bf16_b128", "vloso_fp32_b256",
+        "vloso_bf16_b256", "vloso_fp32_es",
+    )):
+        log(f"[{3 + (i == 4)}/7] isolated config {tag}")
         try:
-            sps_b, mfu_b, _ = bench_fused_vloso(
-                MultimodalTransformerModel, ds, n_subjects, peak,
-                compute_dtype=cdt, moment_dtype=mdt, batch=b, reps=2,
+            out = subprocess.run(
+                [sys.executable, __file__, f"--one={tag}"],
+                capture_output=True, text=True, timeout=2400,
             )
-            extra[f"{tag}_samples_per_sec"] = round(sps_b, 1)
-            if mfu_b is not None:
-                extra[f"{tag}_mfu"] = round(mfu_b, 4)
+            for line in out.stderr.splitlines():
+                log(f"  {line}")
+            payload = json.loads(out.stdout.strip().splitlines()[-1])
+            extra.update(payload)
         except Exception as e:
             log(f"  {tag} failed: {e!r}")
-
-    log("[4/7] early-stop/plateau-LR fused program (control overhead)")
-    try:
-        extra["vloso_fp32_es_samples_per_sec"] = round(
-            bench_vloso_early_stop(MultimodalTransformerModel, ds,
-                                   n_subjects), 1)
-    except Exception as e:
-        log(f"  early-stop config failed: {e!r}")
 
     log("[5/7] vectorized phased-curriculum training (all subjects)")
     try:
@@ -519,4 +564,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    one = [a for a in sys.argv[1:] if a.startswith("--one=")]
+    if one:
+        run_one(one[0].split("=", 1)[1])
+    else:
+        main()

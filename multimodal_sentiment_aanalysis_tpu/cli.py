@@ -202,11 +202,16 @@ def _phased_vectorized(args, model, full, n_subjects, ex_nums) -> None:
         model, full, n_subjects, ex_nums, seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else None,
         mesh=mesh, verbose=not args.quiet,
+        reset_optimizer_each_epoch=not args.no_reset_optimizer,
+        early_stop=getattr(args, "early_stop", False),
     )
     if getattr(args, "resume", None):
         trainer.restore_state(args.resume)
         print(f"resumed from {args.resume}")
     res = trainer.run(*args.epochs)
+    if getattr(args, "early_stop", False) and not args.quiet:
+        for ph in trainer._phase_sched:
+            print(trainer.stop_report(ph))
     if getattr(args, "save_state", None):
         print(f"state saved to {trainer.save_state(args.save_state)}")
     for sid in range(n_subjects):
@@ -633,6 +638,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="run each curriculum phase as ONE device program "
                         "(per-epoch optimizer reset + eval fused in; parity "
                         "mode only — removes per-epoch host round-trips)")
+    p.add_argument("--early-stop", action="store_true", dest="early_stop",
+                   help="with --vectorized: per-subject per-phase early "
+                        "stopping as (S,) lanes inside the fused phase scan "
+                        "(the reference's dormant early_stopping method, "
+                        "MultiTaskTrainer.py:517-527); combine with "
+                        "--no-reset-optimizer to also let the plateau LR "
+                        "fire per subject")
     p.add_argument("--vectorized", action="store_true",
                    help="train ALL subjects' curricula simultaneously: one "
                         "vmapped device program per phase "

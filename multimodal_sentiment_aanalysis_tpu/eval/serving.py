@@ -52,6 +52,30 @@ Three conclusions drive the defaults here:
 3. bf16 is a wash below B=256 (cast overhead cancels the MXU gain)
    and wins 1.12-1.22x from B=512 up; argmax agreement vs fp32 0.988
    (B=256 probe).
+4. Where the sub-B=128 latency floor goes (``scripts/
+   profile_serve_floor.py``, staged slices of this forward as chained
+   100-iteration scans, TPU v5e 2026-08-19; ms/batch):
+
+   ====  ======  ====  ===  ====
+   B     gather  stem  eeg  full
+   ====  ======  ====  ===  ====
+   8     .264    .308  .348 .356
+   64    .298    .412  .506 .510
+   256   .355    .602  .846 .856
+   ====  ======  ====  ===  ====
+
+   The gather-only stage (one ``jnp.take`` + scan bookkeeping, no
+   model) already costs 0.26-0.36 ms — ~74% of the B=8 total — and
+   every model stage's *delta* scales with batch (eeg-stem: 0.040 →
+   0.094 → 0.244 ms), so the floor is per-iteration program overhead,
+   NOT the BiLSTM recurrence or any kernel-addressable compute
+   (the recurrence-as-floor hypothesis is refuted). The absolute
+   floor differs from this sweep's numbers because the sweep also
+   materializes per-batch logits; the attribution (deltas within one
+   harness) is the meaningful part. Documented negative for
+   latency-sensitive serving below B~128: nothing left to fuse —
+   batch larger (conclusion 2) or amortize via chained scans as the
+   offline scorer here does.
 """
 
 from __future__ import annotations

@@ -732,11 +732,7 @@ class VectorizedLOSOTrainer:
                 )
         te = self._te_fn(self.params, self.batch_stats, test_rows)
         self.sched, improved = vector_schedule_step(
-            self.sched, te["te_loss"], epoch_num, **{
-                "es_patience": self._es_cfg["es_patience"],
-                "plateau_patience": self._es_cfg["plateau_patience"],
-                "plateau_factor": self._es_cfg["plateau_factor"],
-            }
+            self.sched, te["te_loss"], epoch_num, **self._es_cfg
         )
         self.opt_state = set_learning_rate(self.opt_state, self.sched["lr"])
         self.best_params, self.best_stats = self._snap_best(

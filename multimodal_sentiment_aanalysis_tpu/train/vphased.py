@@ -28,6 +28,20 @@ re-instantiations so every subject gets a fresh init (``main.py:66``).
 Scaling out: pass a ``jax.sharding.Mesh`` and the subject axis of every
 per-model tensor is sharded over it — embarrassingly parallel, zero
 collectives, same design as vloso.
+
+Schedule control (net-improvement path, OFF by default for parity): the
+reference rebuilds its plateau scheduler every epoch so LR never decays,
+and its per-phase ``early_stopping`` calls are commented out
+(``MultiTaskTrainer.py:577,599``) — fixed epochs at constant LR IS the
+faithful default here. ``reset_optimizer_each_epoch=False`` keeps Adam
+moments across a phase's epochs and lets a per-subject plateau LR
+actually fire (the same improvement path the sequential
+:class:`.multitask.MultiTaskTrainer` documents), and ``early_stop=True``
+enables the reference's dormant per-phase early stop — both run INSIDE
+the fused phase scan as ``(S,)`` schedule lanes
+(:func:`..utils.schedule.vector_schedule_step`), per-subject, exactly as
+:class:`.vloso.VectorizedLOSOTrainer` does for the single-stage
+experiment.
 """
 
 from __future__ import annotations
@@ -43,6 +57,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.pipeline import DeviceDataset, epoch_batch_indices
 from ..data.splits import loso_split
 from ..ops.losses import masked_accuracy, masked_cross_entropy
+from ..utils.schedule import vector_schedule_init, vector_schedule_step
 from .multitask import METRIC_KEYS, PHASES, make_phase_loss
 from .state import (
     clip_by_global_norm,
@@ -86,6 +101,9 @@ class VectorizedPhasedTrainer:
         compute_dtype: str | None = None,
         mesh: Mesh | None = None,
         verbose: bool = True,
+        reset_optimizer_each_epoch: bool = True,
+        early_stop: bool = False,
+        es_patience: int = 5,
     ):
         self.model = model
         self.data = data
@@ -99,6 +117,11 @@ class VectorizedPhasedTrainer:
         self.mesh = mesh
         self.verbose = verbose
         self.rng_impl = rng_impl  # recorded for checkpoint key round-trips
+        self.reset_optimizer_each_epoch = reset_optimizer_each_epoch
+        self.early_stop = early_stop
+        self.es_patience = es_patience
+        # per-phase (S,) schedule lanes, created lazily at first run_phase
+        self._phase_sched: dict[str, dict] = {}
 
         if mesh is not None:
             nd = int(mesh.devices.size)
@@ -253,17 +276,36 @@ class VectorizedPhasedTrainer:
                 "n": n_valid,
             }
 
-        def phase_one(params, batch_stats, key, lr,
+        # Schedule lanes inside the phase scan. Parity mode (defaults)
+        # makes the transition a provable no-op: both patiences sit far
+        # above any epoch count, so lr stays constant and no lane stops —
+        # exactly the reference's rebuilt-every-epoch scheduler and
+        # commented-out early stop. The improvement flags lower them.
+        reset_opt = self.reset_optimizer_each_epoch
+        plateau_pat = 10**9 if reset_opt else spec.sched_patience
+        es_pat = self.es_patience if self.early_stop else 10**9
+        sched_fac = spec.sched_factor
+
+        def phase_one(params, batch_stats, key, sched, epoch0,
                       plan_idx, plan_mask, test_idx, test_mask):
             def epoch(carry, xs):
-                params, batch_stats, key = carry
-                idx_e, mask_e = xs
-                # reference parity: fresh optimizer moments every epoch
-                opt_state = set_learning_rate(tx.init(params), lr)
-                (params, batch_stats, _, key), ms = jax.lax.scan(
+                params, batch_stats, key, opt_state, sched = carry
+                idx_e, mask_e, eidx = xs
+                active = ~sched["stopped"]
+                if reset_opt:
+                    # reference parity: fresh optimizer moments every epoch
+                    opt_state = tx.init(params)
+                opt_state = set_learning_rate(opt_state, sched["lr"])
+                (new_params, new_bs, new_opt, key), ms = jax.lax.scan(
                     train_step, (params, batch_stats, opt_state, key),
                     (idx_e, mask_e),
                 )
+                # early-stopped subjects freeze (their sequential loop
+                # would have broken out of this phase)
+                sel = lambda n, o: jnp.where(active, n, o)
+                params = jax.tree.map(sel, new_params, params)
+                batch_stats = jax.tree.map(sel, new_bs, batch_stats)
+                opt_state = jax.tree.map(sel, new_opt, opt_state)
                 train_totals = jax.tree.map(jnp.sum, ms)
                 _, ems = jax.lax.scan(
                     lambda _, xs2: (None, eval_step(
@@ -271,12 +313,27 @@ class VectorizedPhasedTrainer:
                     None, (test_idx, test_mask),
                 )
                 test_totals = jax.tree.map(jnp.sum, ems)
-                return (params, batch_stats, key), (train_totals, test_totals)
+                te_loss = test_totals["loss"] / jnp.maximum(
+                    test_totals["n"], 1.0)
+                sched, _ = vector_schedule_step(
+                    sched, te_loss, eidx,
+                    es_patience=es_pat, plateau_patience=plateau_pat,
+                    plateau_factor=sched_fac,
+                )
+                hist = {"lr": sched["lr"], "stopped": sched["stopped"]}
+                return (params, batch_stats, key, opt_state, sched), (
+                    train_totals, test_totals, hist)
 
-            (params, batch_stats, key), (tr, te) = jax.lax.scan(
-                epoch, (params, batch_stats, key), (plan_idx, plan_mask)
+            opt0 = set_learning_rate(tx.init(params), sched["lr"])
+            eidxs = epoch0 + 1 + jnp.arange(
+                plan_idx.shape[0], dtype=jnp.int32)
+            (params, batch_stats, key, _, sched), (tr, te, hist) = (
+                jax.lax.scan(
+                    epoch, (params, batch_stats, key, opt0, sched),
+                    (plan_idx, plan_mask, eidxs),
+                )
             )
-            return params, batch_stats, key, tr, te
+            return params, batch_stats, key, sched, tr, te, hist
 
         fn = jax.vmap(phase_one)
         if self.mesh is None:
@@ -284,8 +341,8 @@ class VectorizedPhasedTrainer:
         s = self._shard
         return jax.jit(
             fn,
-            in_shardings=(s,) * 8,
-            out_shardings=(s,) * 5,
+            in_shardings=(s,) * 9,
+            out_shardings=(s,) * 7,
         )
 
     # ------------------------------------------------------------------
@@ -319,16 +376,31 @@ class VectorizedPhasedTrainer:
         if phase not in self._phase_fns:
             self._phase_fns[phase] = self._build_phase(phase)
         plan_idx, plan_mask = self._phase_plans(epochs)
-        lr = jnp.full((self.n_total,), self.lr, jnp.float32)
+        if phase not in self._phase_sched:
+            sched = vector_schedule_init(self.n_total, self.lr)
+            if self.mesh is not None:
+                sched = jax.tree.map(
+                    lambda x: jax.device_put(x, self._shard), sched
+                )
+            self._phase_sched[phase] = sched
+            self._phase_epochs = getattr(self, "_phase_epochs", {})
+            self._phase_epochs.setdefault(phase, 0)
+        epoch0 = jnp.full(
+            (self.n_total,), self._phase_epochs[phase], jnp.int32
+        )
         if self.mesh is not None:
-            lr = jax.device_put(lr, self._shard)
-        (self.params, self.batch_stats, self.dropout_keys, tr, te) = (
+            epoch0 = jax.device_put(epoch0, self._shard)
+        (self.params, self.batch_stats, self.dropout_keys,
+         self._phase_sched[phase], tr, te, hist) = (
             self._phase_fns[phase](
-                self.params, self.batch_stats, self.dropout_keys, lr,
+                self.params, self.batch_stats, self.dropout_keys,
+                self._phase_sched[phase], epoch0,
                 plan_idx, plan_mask,
                 self._test_plan_idx, self._test_plan_mask,
             )
         )
+        self._phase_epochs[phase] += epochs
+        self._last_hist = jax.device_get(hist)  # (S, E) lr + stopped lanes
         tr = jax.device_get(tr)  # dicts of (S, E)
         te = jax.device_get(te)
         tn = np.maximum(tr.pop("n"), 1.0)
@@ -400,6 +472,11 @@ class VectorizedPhasedTrainer:
             "dropout_keys": jax.random.key_data(self.dropout_keys),
             "host": json.dumps({
                 "rng_states": [r.bit_generator.state for r in self.host_rngs],
+                "phase_epochs": getattr(self, "_phase_epochs", {}),
+                "phase_sched": {
+                    ph: {k: np.asarray(v).tolist() for k, v in sd.items()}
+                    for ph, sd in self._phase_sched.items()
+                },
                 "metrics": {
                     split: {
                         k: [np.asarray(a).tolist() for a in v]
@@ -440,6 +517,17 @@ class VectorizedPhasedTrainer:
             r = np.random.default_rng()
             r.bit_generator.state = st
             self.host_rngs.append(r)
+        self._phase_epochs = dict(host.get("phase_epochs", {}))
+        _sched_dtypes = {
+            "lr": jnp.float32, "plateau_best": jnp.float32,
+            "plateau_bad": jnp.int32, "es_best": jnp.float32,
+            "es_counter": jnp.int32, "stopped": bool,
+            "stop_epoch": jnp.int32,
+        }
+        self._phase_sched = {
+            ph: {k: jnp.asarray(v, _sched_dtypes[k]) for k, v in sd.items()}
+            for ph, sd in host.get("phase_sched", {}).items()
+        }
         self.metrics = {
             split: {k: [np.asarray(a) for a in v] for k, v in d.items()}
             for split, d in host["metrics"].items()
@@ -454,6 +542,26 @@ class VectorizedPhasedTrainer:
             self.params = put(self.params)
             self.batch_stats = put(self.batch_stats)
             self.dropout_keys = jax.device_put(self.dropout_keys, self._shard)
+            self._phase_sched = put(self._phase_sched)
+
+    def stop_report(self, phase: str) -> str:
+        """Per-subject stop-epoch lines for one phase (the vectorized analog
+        of the reference's 'Early stopping triggered!' prints)."""
+        sched = self._phase_sched[phase]
+        stop = np.asarray(jax.device_get(sched["stop_epoch"]))
+        stop = stop[: self.n_subjects]
+        ran = self._phase_epochs.get(phase, 0)
+        lines = [
+            f"  subject {s}: "
+            + (f"early-stopped at phase epoch {int(e)}" if e > 0
+               else f"ran all {ran} phase epochs")
+            for s, e in enumerate(stop)
+        ]
+        stopped = stop[stop > 0]
+        return "\n".join(
+            [f"[{phase}] early stopping: {stopped.size}/{stop.size} "
+             f"subjects stopped"] + lines
+        )
 
     def subject_variables(self, sid: int) -> dict:
         """Slice one subject's flax variables out of the stacked state

@@ -20,7 +20,11 @@ lane-starved steps whose latency does not scale with batch — if
 the floor is the recurrence, and the documented mitigation is batching
 (the sweep's conclusion 2), not kernel work.
 
-Results land in eval/serving.py's conclusions.
+Results (TPU v5e, 2026-08-19) landed as eval/serving.py conclusion 4:
+the hypothesis below was REFUTED — the gather-only stage already costs
+0.26-0.36 ms (74% of the B=8 total) and every model stage's delta
+scales with batch, so the floor is per-iteration program overhead, not
+the recurrence.
 """
 import os
 import sys
@@ -49,6 +53,11 @@ def main():
     from multimodal_sentiment_aanalysis_tpu.ops.rnn import bilstm_layer
     from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync
 
+    from multimodal_sentiment_aanalysis_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     dev = jax.devices()[0]
     print("device:", dev.platform, dev.device_kind, flush=True)
 

@@ -135,6 +135,37 @@ class TestCLISmoke:
         ))
         _check_json(res, ("mean_arousal_acc", "mean_valence_acc"))
 
+    @pytest.mark.slow
+    def test_vloso_early_stop(self, tmp_path):
+        """--fused --early-stop: per-subject schedule lanes run inside the
+        fused program; the results JSON gains stop_epochs + best-params
+        final accs (reference Trainer.py:28,107-117 semantics)."""
+        res = tmp_path / "r.json"
+        _run(_tiny(
+            "vloso", "--epochs", "4", "--fused", "--early-stop",
+            "--es-patience", "2",
+            "--results-json", str(res),
+        ))
+        payload = _check_json(
+            res, ("mean_arousal_acc", "final_arousal_acc"))
+        assert len(payload["stop_epochs"]) == 3
+        assert all(0 <= e <= 4 for e in payload["stop_epochs"])
+
+    @pytest.mark.slow
+    def test_phased_vectorized_early_stop(self, tmp_path, capsys):
+        """--vectorized --early-stop --no-reset-optimizer: the per-phase
+        (S,) schedule lanes engage and the stop report prints."""
+        res = tmp_path / "r.json"
+        _run([
+            "phased", "--tiny", "--no-plots",
+            "--vectorized", "--early-stop", "--no-reset-optimizer",
+            "--epochs", "2", "0", "0", "0", "2",
+            "--checkpoint-dir", str(tmp_path),
+            "--results-json", str(res),
+        ])
+        _check_json(res, ("mean_arousal_acc", "mean_valence_acc"))
+        assert "early stopping:" in capsys.readouterr().out
+
     def test_memhacl(self, tmp_path):
         res = tmp_path / "r.json"
         _run([

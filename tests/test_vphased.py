@@ -236,3 +236,101 @@ class TestVPhasedResume:
             lambda x, y: float(jnp.max(jnp.abs(x - y))), a.params, b.params
         )
         assert max(jax.tree.leaves(deltas)) == 0.0
+
+
+@pytest.mark.slow
+class TestVPhasedSchedule:
+    """Per-subject plateau-LR + early-stop lanes inside the fused phase
+    scan (vphased module docstring; reference MultiTaskTrainer.py:517-527
+    dormant early stop, :67-176 per-phase schedulers)."""
+
+    def test_default_mode_is_constant_lr_no_stop(self, tiny_model, full_ds):
+        """Parity defaults: the schedule transition is a no-op — constant
+        LR, no lane ever stops (the reference rebuilds its scheduler every
+        epoch and its early-stop calls are commented out)."""
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            VectorizedPhasedTrainer,
+        )
+
+        vt = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, seed=SEED, batch_size=8,
+            rng_impl="rbg", verbose=False,
+        )
+        vt.run_phase("fusion_arousal", 3)
+        hist = vt._last_hist
+        np.testing.assert_array_equal(hist["lr"], np.float32(vt.lr))
+        assert not hist["stopped"].any()
+
+    def test_schedule_lanes_match_host_replay(self, tiny_model, full_ds):
+        """Improvement mode (--no-reset-optimizer + early stop): replaying
+        the phase's recorded per-epoch test losses through the host
+        ReduceLROnPlateau/EarlyStopping classes reproduces each subject's
+        in-program LR trajectory and stop epoch."""
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            VectorizedPhasedTrainer,
+        )
+        from multimodal_sentiment_aanalysis_tpu.train.multitask import PHASES
+        from multimodal_sentiment_aanalysis_tpu.utils.schedule import (
+            EarlyStopping,
+            ReduceLROnPlateau,
+        )
+
+        vt = VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, seed=SEED, batch_size=8,
+            rng_impl="rbg", verbose=False,
+            reset_optimizer_each_epoch=False, early_stop=True,
+            es_patience=2,
+        )
+        E = 8
+        phase = "fusion_arousal"
+        spec = PHASES[phase]
+        vt.run_phase(phase, E)
+        hist = vt._last_hist  # dicts of (S, E)
+        te = np.stack(vt.metrics["test"]["loss"], axis=1)  # (S, E)
+        stop_epoch = np.asarray(
+            jax.device_get(vt._phase_sched[phase]["stop_epoch"])
+        )
+
+        for s in range(vt.n_subjects):
+            sch = ReduceLROnPlateau(
+                lr=vt.lr, patience=spec.sched_patience,
+                factor=spec.sched_factor,
+            )
+            early = EarlyStopping(patience=2)
+            host_stop = 0
+            for e in range(E):
+                v = float(te[s, e])
+                if np.isfinite(v):
+                    sch.step(v)
+                early.step(v)
+                assert np.float32(sch.lr) == hist["lr"][s, e], (s, e)
+                if early.should_stop:
+                    host_stop = e + 1
+                    break
+            assert stop_epoch[s] == host_stop, s
+
+        # stopped subjects freeze: deterministic eval repeats bit-for-bit
+        for s in range(vt.n_subjects):
+            if stop_epoch[s] and stop_epoch[s] < E:
+                np.testing.assert_array_equal(
+                    te[s, stop_epoch[s]:], te[s, stop_epoch[s] - 1]
+                )
+        rep = vt.stop_report(phase)
+        assert "early stopping:" in rep
+
+    def test_parity_tests_unaffected(self, tiny_model, full_ds):
+        """The new schedule plumbing leaves the default phase program's
+        numbers unchanged: same seed twice -> identical metrics."""
+        from multimodal_sentiment_aanalysis_tpu.train import (
+            VectorizedPhasedTrainer,
+        )
+
+        mk = lambda: VectorizedPhasedTrainer(
+            tiny_model, full_ds, N_SUBJECTS, EX, seed=SEED, batch_size=8,
+            rng_impl="rbg", verbose=False,
+        )
+        a, b = mk(), mk()
+        ra = a.run_phase("eeg", 2)
+        rb = b.run_phase("eeg", 2)
+        for k in ra:
+            np.testing.assert_array_equal(ra[k], rb[k])
