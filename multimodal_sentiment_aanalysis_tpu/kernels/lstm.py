@@ -45,7 +45,22 @@ forward-order sweep kernel (``_cseq_kernel``: gates from stored x +
 h_seq, elementwise c carry — no matmul recurrence, bit-exact in fp32)
 and the reverse-sweep grid blocks the BATCH axis (``pick_block_b``) so
 its VMEM windows scale with the block, not B — fp32 B=256 runs fused as
-two Bb=128 blocks instead of falling off the 128 MB cliff. Inputs whose
+two Bb=128 blocks instead of falling off the 128 MB cliff. v9
+(2026-08-19, default; ``MSA_LSTM_SEGBWD=0`` reverts to v8): the c
+rebuild writes only ceil(T/K) per-segment boundary checkpoints
+(``_cbnd_call`` — the full (S,T,B,2H) float32 c_seq, ~114 MB/layer
+written + ~2x streamed back, never exists) and the reverse sweep
+(``_segbwd_call``) processes K actual-time rows per grid step: c is
+rebuilt in registers inside the segment from its boundary value and the
+gate/dx/dW dots batch over the segment's K*Bb rows; only the
+dgates @ Whh^T carry dot stays per-step (serial dependence). Measured
+(v5e 2026-08-19): standalone 2-layer f+bwd 10.33 -> 9.12 ms fp32 /
+9.38 -> 8.35 bf16 (``scripts/bench_segbwd_tune.py``, K/Bb sweep in its
+log + ``_SEG_K`` note); in situ same-session full-step 39.15 -> 38.00 ms
+fp32 with fwd-only identical (forward untouched), every
+``profile_step --only=*`` ablation clean (the v8 fault closure holds —
+no c-derived tensor crosses the FORWARD boundary in any revision >= v8),
+and hardware grad parity v8-vs-v9 at 4e-07. Inputs whose
 width is not lane-aligned (I % 128 != 0) take the v5 two-pass form (one
 hoisted XLA projection matmul + an xp-streaming kernel), as does
 ``MSA_LSTM_XPROJ=0``; ``MSA_LSTM_BWDC=0`` reverts just the backward to
@@ -216,6 +231,22 @@ _XPROJ_ENABLED = os.environ.get("MSA_LSTM_XPROJ", "1") != "0"
 # XLA reduces dW_ih/dW_hh/dx/db from it).
 _BWDC_ENABLED = os.environ.get("MSA_LSTM_BWDC", "1") != "0"
 
+# v9 (segmented merged backward): the reverse sweep processes K-step
+# time segments per grid step — c is rebuilt in-kernel from per-segment
+# boundary checkpoints (the full c_seq tensor never exists) and the
+# gate/dx/dW dots are batched over the segment. MSA_LSTM_SEGBWD=0
+# reverts to the v8 two-kernel backward (full c_seq rebuild + per-step
+# reverse sweep). MSA_LSTM_SEGK overrides the segment length.
+_SEGBWD_ENABLED = os.environ.get("MSA_LSTM_SEGBWD", "1") != "0"
+# Segment length: the flagship (K, Bb) sweep (scripts/bench_segbwd_tune.py,
+# v5e 2026-08-19, 2-layer f+bwd chained) measured K=2/Bb=64 best in BOTH
+# dtypes — fp32 10.327 (v8) -> 9.122 ms (1.13x), bf16 9.377 -> 8.349
+# (1.12x); K=4/Bb=32 close behind (1.11x/1.10x); K=4/Bb=16 a 0.91x LOSS
+# (half-empty serial dots + 4 batch-block sweeps) and K=8 a wash. Batch
+# block beats segment length: the win is the c-traffic elimination plus
+# fewer grid steps, not bigger gate dots.
+_SEG_K = int(os.environ.get("MSA_LSTM_SEGK", "2"))
+
 # MEASURED NEGATIVE (default off): casting the float32 state/grad
 # operands (h, dgates, h_prev) to bfloat16 at the DOT INPUTS — hoping
 # the MXU would run bf16-rate instead of mixed-precision rate — is a
@@ -240,6 +271,14 @@ def enable_bwdc(on: bool) -> bool:
     global _BWDC_ENABLED
     old = _BWDC_ENABLED
     _BWDC_ENABLED = bool(on)
+    return old
+
+
+def enable_segbwd(on: bool) -> bool:
+    """Toggle the v9 segmented merged backward; returns the old value."""
+    global _SEGBWD_ENABLED
+    old = _SEGBWD_ENABLED
+    _SEGBWD_ENABLED = bool(on)
     return old
 
 
@@ -952,6 +991,378 @@ def _bwd_bwdc_call(dh_seq, x, h_seq, c_seq, w_ih, w_hh, b,
 
 
 # ---------------------------------------------------------------------------
+# v9: segmented merged backward — boundary-checkpointed c + K-step segments
+# ---------------------------------------------------------------------------
+#
+# v8's backward materializes the FULL rebuilt c_seq (S,T,B,2H) float32 —
+# ~114 MB written by `_cseq_call` and ~2x that streamed back as the
+# reverse sweep's c_cur/c_prev windows, per layer per step. v9 keeps the
+# v8 structural fix (no c output from the forward) but checkpoints c only
+# at K-step segment boundaries (`_cbnd_call`, T/K of the traffic) and the
+# reverse sweep (`_segbwd_call`) processes one K-row ACTUAL-TIME block per
+# grid step: it rebuilds c inside the segment in registers from the
+# boundary value, and the gate / dx / dW dots are batched over the
+# segment's K*Bb rows (fewer, bigger MXU ops; only the dgates->Whh^T
+# carry dot stays per-step — it is serially dependent). Block alignment:
+# segments are actual-time K-blocks, so direction 1 (reversed time)
+# traverses rows within a block in reverse — handled by static dual
+# slices + `where` selects, never a traced row index. K does not divide
+# T=73: the last actual block is partial; its out-of-range rows are
+# zeroed at load (so no undefined edge value can reach a real row through
+# a contraction) and skipped in the carries via `where` pass-throughs.
+
+
+def _cbnd_kernel(x_ref, hprev_ref, wih_ref, whh_ref, b_ref, cb_ref, c_scr,
+                 *, T: int, K: int):
+    """Forward-order c sweep (same math as `_cseq_kernel`) that WRITES only
+    segment-boundary values, each into slot a//K: direction 0 stores c at
+    actual times a % K == K-1 (slot m holds c[d0, mK+K-1], the entry for
+    block m+1), direction 1 at a % K == 0 (slot m holds c[d1, mK], the
+    entry for block m-1). Both stores land on the LAST grid step of their
+    output window's residency — Pallas writes back a revisited window's
+    final contents, so a store early in the residency would be clobbered
+    by the un-stored steps after it (measured in interpret mode). The
+    never-written slots (d0's last slot; d1's slot 0 entry is never read)
+    are masked by consumers."""
+    d = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    h_prev = jnp.where(t == 0, 0.0, hprev_ref[:, 0].astype(jnp.float32))
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    cdt = x_ref.dtype
+    gates = jax.lax.dot_general(
+        x_ref[:, 0], wih_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        _dot_op(h_prev, cdt), whh_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + b_ref[:, 0].astype(jnp.float32)
+
+    hidden = c_scr.shape[-1]
+    i = _sigmoid(gates[..., :hidden])
+    f = _sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    c = f * c_scr[...] + i * g
+    c_scr[...] = c
+
+    a = _time_map(d, t, T)
+    boundary = jnp.where(d == 0, a % K == K - 1, a % K == 0)
+
+    @pl.when(boundary)
+    def _():
+        cb_ref[:, 0] = c
+
+
+def _cbnd_call(x, h_seq, w_ih, w_hh, b, K: int, interpret: bool):
+    """Segment-boundary c checkpoints (S, NSEG, B, 2H) float32 from the
+    stored x/h_seq packed layouts (NSEG = ceil(T/K))."""
+    S, T, B, I = x.shape
+    G = w_hh.shape[-1]
+    H = G // 4
+    nseg = -(-T // K)
+
+    xmap = lambda d, t: (0, _time_map(d, t, T), 0, 0)
+    hpmap = lambda d, t: (
+        0, jnp.clip(_time_map(d, t - 1, T), 0, T - 1), 0, d)
+    wmap = lambda d, t: (0, d, 0, 0)
+
+    def omap(d, t):
+        a = _time_map(d, t, T)
+        return (0, a // K, 0, d)
+
+    return pl.pallas_call(
+        functools.partial(_cbnd_kernel, T=T, K=K),
+        grid=(2, T),
+        in_specs=[
+            pl.BlockSpec((S, 1, B, I), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, B, H), hpmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, I, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, 1, B, H), omap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, nseg, B, 2 * H), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, h_seq, w_ih, w_hh, b)
+
+
+def _segbwd_kernel(dh_ref, x_ref, h_ref, hb_ref, cb_ref,
+                   wih_ref, whh_ref, b_ref, dx_ref, dw_ref,
+                   dg_scr, dh_scr, dc_scr,
+                   *, T: int, K: int, NSEG: int):
+    """Reverse sweep over K-row actual-time segments. Grid (2, NB, NSEG);
+    direction 0 visits blocks last-to-first (its recurrence ends at
+    a=T-1), direction 1 first-to-last. Within a block, recurrence-order
+    row r maps to block row r (d=0) or K-1-r (d=1) via static dual
+    slices + selects."""
+    d = pl.program_id(0)
+    n = pl.program_id(1)
+    g = pl.program_id(2)
+    m = jnp.where(d == 0, NSEG - 1 - g, g)
+    # recurrence START segment (c/h entries are the zero state): block 0
+    # for d=0 and block NSEG-1 for d=1 — both at g == NSEG-1
+    first_seg = g == NSEG - 1
+
+    @pl.when(g == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    S, _, bb, hidden = dh_ref.shape
+    I = x_ref.shape[-1]
+    G = whh_ref.shape[-1]
+    cdt = x_ref.dtype
+
+    # zero the partial last block's out-of-range rows AT LOAD: undefined
+    # edge values must never reach a real row through a contraction
+    # (NaN * 0 == NaN)
+    rows = m * K + jax.lax.broadcasted_iota(jnp.int32, (1, K, 1, 1), 1)
+    rmask = rows < T
+    x = jnp.where(rmask, x_ref[...], 0)
+    h = jnp.where(rmask, h_ref[...], 0).astype(jnp.float32)
+    dh_in = jnp.where(rmask, dh_ref[...], 0).astype(jnp.float32)
+
+    # h_prev rows: shift h by one actual step toward the recurrence
+    # past. Row edges: d=0 row 0 takes the previous block's last row
+    # (streamed window), d=1 row K-1 takes the next block's first row.
+    # Both edge windows are the zero state at the recurrence start; and
+    # d=1 rows whose successor is out of range (a+1 >= T) are exactly
+    # the zeroed rmask rows of h, which is the correct zero h_prev.
+    hb = jnp.where(first_seg, 0.0, hb_ref[:, 0].astype(jnp.float32))
+    hp = jnp.where(
+        d == 0,
+        jnp.concatenate([hb[:, None], h[:, :K - 1]], axis=1),
+        jnp.concatenate([h[:, 1:], hb[:, None]], axis=1),
+    )
+
+    # segment-batched gate dots over all K rows at once
+    dn = (((2,), (1,)), ((0,), (0,)))
+    xk = x.reshape(S, K * bb, I)
+    hpk = _dot_op(hp.reshape(S, K * bb, hidden), cdt)
+    gates = (jax.lax.dot_general(
+        xk, wih_ref[:, 0], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        hpk, whh_ref[:, 0], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:, 0].astype(jnp.float32)).reshape(S, K, bb, G)
+
+    def sel(t, r):
+        """Recurrence-order row r of a (S, K, bb, ·) block tensor."""
+        return jnp.where(d == 0, t[:, r], t[:, K - 1 - r])
+
+    def a_of(r):
+        return m * K + jnp.where(d == 0, r, K - 1 - r)
+
+    # forward-order c rebuild within the segment (registers); masked
+    # rows pass the carry through untouched, so the partial block's
+    # garbage rows never pollute a real row's c (they precede the real
+    # rows only for d=1, whose entry carry is the zero state anyway)
+    c_entry = jnp.where(first_seg, 0.0, cb_ref[:, 0])
+    gate_rows, cvals = [], []
+    ccur = c_entry
+    for r in range(K):
+        gr = sel(gates, r)
+        i = _sigmoid(gr[..., :hidden])
+        f = _sigmoid(gr[..., hidden:2 * hidden])
+        gg = jnp.tanh(gr[..., 2 * hidden:3 * hidden])
+        o = _sigmoid(gr[..., 3 * hidden:])
+        cnext = f * ccur + i * gg
+        ccur = jnp.where(a_of(r) < T, cnext, ccur)
+        gate_rows.append((i, f, gg, o))
+        cvals.append(ccur)
+
+    # reverse-order gradient pass; only the dgates @ Whh^T carry dot is
+    # per-step (serial dependence) — dx and dW batch over the segment
+    dnt = (((2,), (2,)), ((0,), (0,)))
+    dhc = dh_scr[...]
+    dcc = dc_scr[...]
+    for r in range(K - 1, -1, -1):
+        real = a_of(r) < T
+        i, f, gg, o = gate_rows[r]
+        dh_t = sel(dh_in, r) + dhc
+        tc = jnp.tanh(cvals[r])
+        do = dh_t * tc
+        dc = dcc + dh_t * o * (1.0 - tc * tc)
+        di = dc * gg
+        dg = dc * i
+        df = dc * (cvals[r - 1] if r > 0 else c_entry)
+        dgates = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f),
+             dg * (1.0 - gg * gg), do * o * (1.0 - o)], axis=-1)
+        dgates = jnp.where(real, dgates, 0.0)
+        dg_op = _dot_op(dgates, cdt)
+        dhc = jnp.where(real, jax.lax.dot_general(
+            dg_op, whh_ref[:, 0], dimension_numbers=dnt,
+            preferred_element_type=jnp.float32,
+        ), dhc)
+        dcc = jnp.where(real, dc * f, dcc)
+
+        @pl.when(d == 0)
+        def _(r=r, v=dgates):
+            dg_scr[:, r] = v
+
+        @pl.when(d != 0)
+        def _(r=r, v=dgates):
+            dg_scr[:, K - 1 - r] = v
+
+    dh_scr[...] = dhc
+    dc_scr[...] = dcc
+
+    # segment-batched reductions (masked rows are zero in BOTH operands)
+    dgk = _dot_op(dg_scr[...].reshape(S, K * bb, G), cdt)
+    dx = jax.lax.dot_general(
+        dgk, wih_ref[:, 0], dimension_numbers=dnt,
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[...] = dx.reshape(S, K, bb, I).astype(dx_ref.dtype)
+
+    acc_t = dgk.dtype
+    ones_rows = jnp.where(
+        rmask, jnp.ones((1, K, 1, 1), jnp.float32), 0.0
+    ) * jnp.ones((S, K, bb, 8), jnp.float32)
+    lhs = jnp.concatenate(
+        [xk.astype(acc_t), hpk.astype(acc_t),
+         ones_rows.reshape(S, K * bb, 8).astype(acc_t)], axis=-1)
+    contrib = jax.lax.dot_general(
+        lhs, dgk,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    first_dw = jnp.logical_and(n == 0, g == 0)
+
+    @pl.when(first_dw)
+    def _():
+        dw_ref[:, 0] = contrib
+
+    @pl.when(jnp.logical_not(first_dw))
+    def _():
+        dw_ref[:, 0] += contrib
+
+
+def _segbwd_vmem_est(s: int, bb: int, k: int, i_dim: int, h: int,
+                     it: int) -> int:
+    """Scoped-VMEM estimate (bytes) for the v9 backward at batch block
+    ``bb`` and segment ``k``: shape-accurate per-window sum x2 for Mosaic
+    double buffering, plus the register-resident segment intermediates
+    (gates block + per-row gate/c lists), x1.10 calibration as in
+    :func:`_bwdc_vmem_est`."""
+    G = 4 * h
+    win = 2 * (
+        s * k * bb * h * it        # dh window
+        + s * k * bb * i_dim * it  # x window
+        + s * k * bb * h * it      # h window
+        + s * bb * h * it          # h boundary window
+        + s * bb * h * 4           # c boundary window (f32)
+        + s * k * bb * i_dim * it  # dx output window
+        + s * i_dim * G * it       # w_ih window
+        + s * h * G * it           # w_hh window
+        + s * G * it               # bias window
+        + s * (i_dim + h + 8) * G * 4  # dW output window (f32)
+    )
+    scr = (
+        s * k * bb * G * 4         # dgates scratch (f32)
+        + 2 * s * bb * h * 4       # dh/dc carries (f32)
+    )
+    regs = (
+        s * k * bb * G * 4         # gates block (f32)
+        + 5 * k * s * bb * h * 4   # per-row i/f/g/o/c lists (f32)
+    )
+    return int((win + scr + regs) * 1.10)
+
+
+def pick_block_b_seg(s: int, b: int, k: int, i_dim: int, h: int, it: int,
+                     budget_bytes: int = 127 << 20) -> int:
+    """Largest batch block (divisor of ``b``, multiple of 8) whose v9
+    backward fits the scoped-VMEM budget at segment length ``k``. The
+    budget sits just under the kernel's 128M ``vmem_limit_bytes`` — the
+    flagship winner (K=2, Bb=64 fp32, est 126M) compiles and runs on
+    hardware, and the tuning sweep showed halving Bb for headroom costs
+    more than it saves (Bb=16 was a measured 0.91x LOSS vs v8)."""
+    bb = b
+    while bb > 8 and bb % 2 == 0 and _segbwd_vmem_est(
+            s, bb, k, i_dim, h, it) > budget_bytes:
+        bb //= 2
+    return bb
+
+
+def _segbwd_call(dh_seq, x, h_seq, c_bnd, w_ih, w_hh, b, K: int,
+                 interpret: bool):
+    """v9 reverse sweep; same outputs as :func:`_bwd_bwdc_call`
+    (dx_pk (S,T,B,2I) x.dtype, dw_cat (S,2,I+H+8,4H) float32) but takes
+    the (S,NSEG,B,2H) boundary checkpoints instead of a full c_seq."""
+    S, T, B, I = x.shape
+    G = w_hh.shape[-1]
+    H = G // 4
+    R = I + H + 8
+    nseg = -(-T // K)
+    bb = _FORCE_BLOCK_B or pick_block_b_seg(S, B, K, I, H, x.dtype.itemsize)
+    nb = max(B // bb, 1)
+    bb = B // nb
+
+    m_of = lambda d, g: jnp.where(d == 0, nseg - 1 - g, g)
+    seqmap = lambda d, n, g: (0, m_of(d, g), n, d)
+    xmap = lambda d, n, g: (0, m_of(d, g), n, 0)
+    wmap = lambda d, n, g: (0, d, 0, 0)
+
+    def hbmap(d, n, g):
+        m = m_of(d, g)
+        t = jnp.where(d == 0, m * K - 1, (m + 1) * K)
+        return (0, jnp.clip(t, 0, T - 1), n, d)
+
+    def cbmap(d, n, g):
+        m = m_of(d, g)
+        return (0, jnp.where(d == 0, jnp.maximum(m - 1, 0),
+                             jnp.minimum(m + 1, nseg - 1)), n, d)
+
+    return pl.pallas_call(
+        functools.partial(_segbwd_kernel, T=T, K=K, NSEG=nseg),
+        grid=(2, nb, nseg),
+        in_specs=[
+            pl.BlockSpec((S, K, bb, H), seqmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, K, bb, I), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, K, bb, H), seqmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, bb, H), hbmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, bb, H), cbmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, I, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, K, bb, I), seqmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, R, G), wmap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, T, B, 2 * I), x.dtype),
+            jax.ShapeDtypeStruct((S, 2, R, G), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, K, bb, G), jnp.float32),
+            pltpu.VMEM((S, bb, H), jnp.float32),
+            pltpu.VMEM((S, bb, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(dh_seq, x, h_seq, h_seq, c_bnd, w_ih, w_hh, b)
+
+
+# ---------------------------------------------------------------------------
 # custom_vmap wrappers: the trainer's vmap over models maps to the S axis
 # of ONE kernel launch instead of a sequential grid dimension
 # ---------------------------------------------------------------------------
@@ -1047,7 +1458,35 @@ def _make_vm_xproj(interpret: bool):
         ]
         return _cseq_call(*args, interpret), True
 
-    return vm_fwd, vm_bwd, vm_bwdc, vm_cseq
+    @custom_vmap
+    def vm_cbnd(x, h, w_ih, w_hh, b):
+        return _cbnd_call(x[None], h[None], w_ih[None], w_hh[None],
+                          b[None], _SEG_K, interpret)[0]
+
+    @vm_cbnd.def_vmap
+    def _vm_cbnd_rule(axis_size, in_batched, x, h, w_ih, w_hh, b):
+        args = [
+            v if bt else _bcast(v, axis_size)
+            for v, bt in zip((x, h, w_ih, w_hh, b), in_batched)
+        ]
+        return _cbnd_call(*args, _SEG_K, interpret), True
+
+    @custom_vmap
+    def vm_segbwd(dh, x, h, cb, w_ih, w_hh, b):
+        dx_pk, dw_cat = _segbwd_call(
+            dh[None], x[None], h[None], cb[None],
+            w_ih[None], w_hh[None], b[None], _SEG_K, interpret)
+        return dx_pk[0], dw_cat[0]
+
+    @vm_segbwd.def_vmap
+    def _vm_segbwd_rule(axis_size, in_batched, dh, x, h, cb, w_ih, w_hh, b):
+        args = [
+            v if bt else _bcast(v, axis_size)
+            for v, bt in zip((dh, x, h, cb, w_ih, w_hh, b), in_batched)
+        ]
+        return _segbwd_call(*args, _SEG_K, interpret), (True, True)
+
+    return vm_fwd, vm_bwd, vm_bwdc, vm_cseq, vm_cbnd, vm_segbwd
 
 
 # ---------------------------------------------------------------------------
@@ -1134,6 +1573,21 @@ def _xproj_fwd(x, w_ih, w_hh, b, interpret):
 
 def _xproj_bwd(interpret, res, dh_seq):
     x, w_ih, w_hh, b, h_seq = res
+    if _SEGBWD_ENABLED and _BWDC_ENABLED:
+        # v9: boundary-checkpointed c + segmented merged reverse sweep —
+        # the full c_seq tensor never exists (T/K of the c traffic) and
+        # the gate/dx/dW dots batch over K-row segments
+        vms = _make_vm_xproj(interpret)
+        c_bnd = vms[4](x, h_seq, w_ih, w_hh, b)
+        dx_pk, dw_cat = vms[5](dh_seq, x, h_seq, c_bnd, w_ih, w_hh, b)
+        i_dim = x.shape[-1]
+        hidden = w_hh.shape[-2]
+        dx = dx_pk[..., :i_dim] + dx_pk[..., i_dim:]
+        dw_ih = dw_cat[..., :i_dim, :]
+        dw_hh = dw_cat[..., i_dim:i_dim + hidden, :]
+        db = dw_cat[..., i_dim + hidden:i_dim + hidden + 1, :]
+        return (dx.astype(x.dtype), dw_ih.astype(w_ih.dtype),
+                dw_hh.astype(w_hh.dtype), db.astype(b.dtype))
     # v8: rebuild c in forward order from the stored tensors (bit-exact
     # in fp32 — the gates depend only on x and h_seq, and the c carry is
     # elementwise). The forward kernel itself never emits c.
@@ -1205,6 +1659,12 @@ def fused_bwd_vmem_fits(n_models: int, batch: int, hidden: int,
     trainers then fall back to the XLA recurrence). The flagship input
     width I = 2H is assumed, as in the EEG stem's both layers.
     """
+    if _SEGBWD_ENABLED and _BWDC_ENABLED:
+        bb = pick_block_b_seg(n_models, batch, _SEG_K, 2 * hidden, hidden,
+                              itemsize, budget_bytes)
+        return _segbwd_vmem_est(
+            n_models, bb, _SEG_K, 2 * hidden, hidden,
+            itemsize) <= budget_bytes
     bb = pick_block_b(n_models, batch, 2 * hidden, hidden, itemsize,
                       budget_bytes)
     return _bwdc_vmem_est(

@@ -46,11 +46,13 @@ DEFAULT_TARGET = (
     "multimodal_sentiment_aanalysis_tpu.utils.preflight:default_canary"
 )
 
-#: Mitigation ladder from kernels/lstm.py "Known issue", cheapest revert
-#: first: v7→v6 backward split, then v6→v5 input projection, then the
-#: all-jnp LSTM, then every Pallas kernel off.
+#: Mitigation ladder from kernels/lstm.py (fault-class history), cheapest
+#: revert first: v9→v8 segmented backward, then v7→v6 backward split, then
+#: v6→v5 input projection, then the all-jnp LSTM, then every Pallas kernel
+#: off.
 MITIGATION_LADDER: tuple[dict[str, str], ...] = (
     {},
+    {"MSA_LSTM_SEGBWD": "0"},
     {"MSA_LSTM_BWDC": "0"},
     {"MSA_LSTM_XPROJ": "0"},
     {"MSA_FUSED_LSTM": "0"},
@@ -133,6 +135,8 @@ def apply_dispatch_env(env: Mapping[str, str]) -> None:
         _rnn.enable_fused_dispatch(False)
     if env.get("MSA_LSTM_XPROJ") == "0":
         _lstm._XPROJ_ENABLED = False
+    if env.get("MSA_LSTM_SEGBWD") == "0":
+        _lstm._SEGBWD_ENABLED = False
     if env.get("MSA_LSTM_BWDC") == "0":
         _lstm._BWDC_ENABLED = False
     if env.get("MSA_FUSED_STEM") == "0":

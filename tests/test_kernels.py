@@ -386,6 +386,35 @@ class TestFusedBiLSTM:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-4)
 
+    @pytest.mark.parametrize("t_len", [5, 8])  # partial and exact segments
+    def test_gradient_parity_segbwd_variant(self, rng, t_len):
+        """The v9 segmented merged backward (boundary-checkpointed c,
+        K-row segments — the default) must match the v8 two-kernel
+        backward bit-tightly; T=5 exercises the partial last segment of
+        K=4, T=8 the exactly-divisible case (kernels/lstm.py
+        MSA_LSTM_SEGBWD)."""
+        from multimodal_sentiment_aanalysis_tpu.kernels import lstm
+
+        B, I, H = 8, 12, 128
+        fwd, bwd = self._params(rng, I, H), self._params(rng, I, H)
+        x = jnp.asarray(rng.normal(size=(B, t_len, I)).astype(np.float32))
+
+        def grads():
+            def loss(x, fw, bw):
+                return jnp.sum(jnp.sin(lstm.fused_bilstm_layer(
+                    x, fw, bw, interpret=True, use_xproj=True)))
+            return jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+
+        g_v9 = grads()
+        old = lstm.enable_segbwd(False)
+        try:
+            g_v8 = grads()
+        finally:
+            lstm.enable_segbwd(old)
+        for a, b in zip(jax.tree.leaves(g_v8), jax.tree.leaves(g_v9)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5)
+
     def test_dispatch_gate(self):
         from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
             supported_shape,
