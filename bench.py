@@ -522,7 +522,16 @@ def main() -> None:
                 [sys.executable, __file__, f"--one={tag}"],
                 capture_output=True, text=True, timeout=2400,
             )
-            for line in out.stderr.splitlines():
+            stderr_lines = out.stderr.splitlines()
+            if out.returncode != 0 or not out.stdout.strip():
+                # Failed compile/run: a compiler VMEM dump can be hundreds
+                # of lines — keep the tail, which carries the actual error.
+                for line in stderr_lines[-12:]:
+                    log(f"  {line}")
+                log(f"  {tag} FAILED (exit {out.returncode}, "
+                    f"{len(stderr_lines)} stderr lines)")
+                continue
+            for line in stderr_lines:
                 log(f"  {line}")
             payload = json.loads(out.stdout.strip().splitlines()[-1])
             extra.update(payload)

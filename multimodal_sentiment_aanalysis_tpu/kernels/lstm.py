@@ -246,6 +246,17 @@ _SEGBWD_ENABLED = os.environ.get("MSA_LSTM_SEGBWD", "1") != "0"
 # block beats segment length: the win is the c-traffic elimination plus
 # fewer grid steps, not bigger gate dots.
 _SEG_K = int(os.environ.get("MSA_LSTM_SEGK", "2"))
+# Boundary-sweep time block (v9.1): the sweep's gate dots have no
+# recurrent dependence, so they CAN batch over MSA_LSTM_CBNDK rows per
+# grid step (rounded up to a multiple of _SEG_K); 0 selects the per-step
+# form. MEASURED NEGATIVE (default off, 2026-08-19): full step 38.04 ms
+# with KC=4 vs 37.87 ms per-step; in-situ B=128 bench 48.3k vs 49.1k
+# samples/s; and at fp32 B=256 the KC-wide x/h/out windows exceed the
+# 128M scoped-VMEM budget (the sweep has no batch blocking) — compile
+# fails. The sweep moves no HBM traffic, so its fewer-grid-steps win is
+# pure overhead that the step's schedule already hides (see CLAUDE.md
+# "standalone wins compress in situ").
+_CBND_K = int(os.environ.get("MSA_LSTM_CBNDK", "0"))
 
 # MEASURED NEGATIVE (default off): casting the float32 state/grad
 # operands (h, dgates, h_prev) to bfloat16 at the DOT INPUTS — hoping
@@ -1060,7 +1071,10 @@ def _cbnd_kernel(x_ref, hprev_ref, wih_ref, whh_ref, b_ref, cb_ref, c_scr,
 
 def _cbnd_call(x, h_seq, w_ih, w_hh, b, K: int, interpret: bool):
     """Segment-boundary c checkpoints (S, NSEG, B, 2H) float32 from the
-    stored x/h_seq packed layouts (NSEG = ceil(T/K))."""
+    stored x/h_seq packed layouts (NSEG = ceil(T/K)). One per-step grid
+    (2, T); the DEFAULT. The time-blocked :func:`_cbndk_call` variant
+    (gates batched over KC rows, ``MSA_LSTM_CBNDK>0``) is a measured
+    e2e negative — see the ``_CBND_K`` note."""
     S, T, B, I = x.shape
     G = w_hh.shape[-1]
     H = G // 4
@@ -1096,6 +1110,118 @@ def _cbnd_call(x, h_seq, w_ih, w_hh, b, K: int, interpret: bool):
         ),
         interpret=interpret,
     )(x, h_seq, w_ih, w_hh, b)
+
+
+def _cbndk_kernel(x_ref, h_ref, hb_ref, wih_ref, whh_ref, b_ref, cb_ref,
+                  c_scr, *, T: int, KC: int, KS: int, NT: int):
+    """Time-blocked boundary sweep: grid (2, NT), KC actual-time rows per
+    step. The gates have no recurrent dependence (stored x + h_seq), so
+    both gate dots batch over the block's KC*B rows; only the elementwise
+    c carry walks the rows. Each block writes its KC/KS boundary slots
+    (all visited exactly once — no revisit-residency hazards)."""
+    d = pl.program_id(0)
+    g = pl.program_id(1)
+    m = jnp.where(d == 0, g, NT - 1 - g)  # recurrence-order block visit
+
+    @pl.when(g == 0)
+    def _():
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    S, _, B, H = h_ref.shape
+    I = x_ref.shape[-1]
+    G = whh_ref.shape[-1]
+    cdt = x_ref.dtype
+
+    rows = m * KC + jax.lax.broadcasted_iota(jnp.int32, (1, KC, 1, 1), 1)
+    rmask = rows < T
+    x = jnp.where(rmask, x_ref[...], 0)
+    h = jnp.where(rmask, h_ref[...], 0).astype(jnp.float32)
+
+    first_blk = g == 0
+    hb = jnp.where(first_blk, 0.0, hb_ref[:, 0].astype(jnp.float32))
+    hp = jnp.where(
+        d == 0,
+        jnp.concatenate([hb[:, None], h[:, :KC - 1]], axis=1),
+        jnp.concatenate([h[:, 1:], hb[:, None]], axis=1),
+    )
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    gates = (jax.lax.dot_general(
+        x.reshape(S, KC * B, I), wih_ref[:, 0], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        _dot_op(hp.reshape(S, KC * B, H), cdt), whh_ref[:, 0],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + b_ref[:, 0].astype(jnp.float32)).reshape(S, KC, B, G)
+
+    cvals = []  # by recurrence index r (block row r for d=0, KC-1-r for d=1)
+    ccur = c_scr[...]
+    for r in range(KC):
+        gr = jnp.where(d == 0, gates[:, r], gates[:, KC - 1 - r])
+        i = _sigmoid(gr[..., :H])
+        f = _sigmoid(gr[..., H:2 * H])
+        gg = jnp.tanh(gr[..., 2 * H:3 * H])
+        a_r = m * KC + jnp.where(d == 0, r, KC - 1 - r)
+        cnext = f * ccur + i * gg
+        ccur = jnp.where(a_r < T, cnext, ccur)
+        cvals.append(ccur)
+    c_scr[...] = ccur
+
+    # slot j of this block holds c at local row j*KS+KS-1 (d=0: the entry
+    # for the NEXT seg block) or j*KS (d=1: the entry for the PREVIOUS);
+    # block row k maps to recurrence index k (d=0) or KC-1-k (d=1)
+    for j in range(KC // KS):
+        v0 = cvals[j * KS + KS - 1]
+        v1 = cvals[KC - 1 - j * KS]
+        cb_ref[:, j] = jnp.where(d == 0, v0, v1)
+
+
+def _cbndk_call(x, h_seq, w_ih, w_hh, b, K: int, interpret: bool):
+    """Time-blocked boundary checkpoints; same output contract as
+    :func:`_cbnd_call`. Opt-in via ``MSA_LSTM_CBNDK>0`` — a measured
+    e2e negative at every config (see the ``_CBND_K`` note) and WITHOUT
+    batch blocking: at fp32 B=256 its windows exceed scoped VMEM."""
+    S, T, B, I = x.shape
+    G = w_hh.shape[-1]
+    H = G // 4
+    nseg = -(-T // K)
+    kc = max(_CBND_K // K, 1) * K  # block rows, a multiple of the segment
+    nt = -(-T // kc)
+    sb = kc // K
+
+    xmap = lambda d, g: (0, jnp.where(d == 0, g, nt - 1 - g), 0, 0)
+    hmap = lambda d, g: (0, jnp.where(d == 0, g, nt - 1 - g), 0, d)
+
+    def hbmap(d, g):
+        m = jnp.where(d == 0, g, nt - 1 - g)
+        t = jnp.where(d == 0, m * kc - 1, (m + 1) * kc)
+        return (0, jnp.clip(t, 0, T - 1), 0, d)
+
+    wmap = lambda d, g: (0, d, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_cbndk_kernel, T=T, KC=kc, KS=K, NT=nt),
+        grid=(2, nt),
+        in_specs=[
+            pl.BlockSpec((S, kc, B, I), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, kc, B, H), hmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, B, H), hbmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, I, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, H, G), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, 1, G), wmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, sb, B, H), hmap,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, nseg, B, 2 * H), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, h_seq, h_seq, w_ih, w_hh, b)
 
 
 def _segbwd_kernel(dh_ref, x_ref, h_ref, hb_ref, cb_ref,
@@ -1460,8 +1586,9 @@ def _make_vm_xproj(interpret: bool):
 
     @custom_vmap
     def vm_cbnd(x, h, w_ih, w_hh, b):
-        return _cbnd_call(x[None], h[None], w_ih[None], w_hh[None],
-                          b[None], _SEG_K, interpret)[0]
+        call = _cbndk_call if _CBND_K > 0 else _cbnd_call
+        return call(x[None], h[None], w_ih[None], w_hh[None],
+                    b[None], _SEG_K, interpret)[0]
 
     @vm_cbnd.def_vmap
     def _vm_cbnd_rule(axis_size, in_batched, x, h, w_ih, w_hh, b):
@@ -1469,7 +1596,8 @@ def _make_vm_xproj(interpret: bool):
             v if bt else _bcast(v, axis_size)
             for v, bt in zip((x, h, w_ih, w_hh, b), in_batched)
         ]
-        return _cbnd_call(*args, _SEG_K, interpret), True
+        call = _cbndk_call if _CBND_K > 0 else _cbnd_call
+        return call(*args, _SEG_K, interpret), True
 
     @custom_vmap
     def vm_segbwd(dh, x, h, cb, w_ih, w_hh, b):

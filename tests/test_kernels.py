@@ -415,6 +415,36 @@ class TestFusedBiLSTM:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=2e-5)
 
+    @pytest.mark.parametrize("t_len", [5, 8, 9])  # partial/exact KC blocks
+    def test_gradient_parity_cbndk_variant(self, rng, t_len):
+        """The opt-in time-blocked boundary sweep (MSA_LSTM_CBNDK>0 — a
+        measured e2e negative, kept for reference; kernels/lstm.py
+        ``_CBND_K``) must produce identical gradients to the default
+        per-step sweep. T=5/9 exercise partial last blocks of KC=4, T=8
+        the exactly-divisible case."""
+        from multimodal_sentiment_aanalysis_tpu.kernels import lstm
+
+        B, I, H = 8, 12, 128
+        fwd, bwd = self._params(rng, I, H), self._params(rng, I, H)
+        x = jnp.asarray(rng.normal(size=(B, t_len, I)).astype(np.float32))
+
+        def grads():
+            def loss(x, fw, bw):
+                return jnp.sum(jnp.sin(lstm.fused_bilstm_layer(
+                    x, fw, bw, interpret=True, use_xproj=True)))
+            return jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+
+        g_ref = grads()
+        old = lstm._CBND_K
+        lstm._CBND_K = 4
+        try:
+            g_blk = grads()
+        finally:
+            lstm._CBND_K = old
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_blk)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5)
+
     def test_dispatch_gate(self):
         from multimodal_sentiment_aanalysis_tpu.kernels.lstm import (
             supported_shape,
