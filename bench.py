@@ -424,6 +424,8 @@ ONE_CONFIGS = {
     "vloso_bf16_b128": (128, "bfloat16", "bfloat16"),
     "vloso_fp32_b256": (256, None, None),
     "vloso_bf16_b256": (256, "bfloat16", "bfloat16"),
+    # manual probe tag (not in main()'s loop): bench.py --one=vloso_bf16_b512
+    "vloso_bf16_b512": (512, "bfloat16", "bfloat16"),
 }
 
 
