@@ -128,11 +128,21 @@ def supervised_infonce_multi(
     losses x all vmapped models in ONE kernel, custom_vmap) is e2e NOISE
     vs G single-kernel calls (bench fp32 37,309 vs 37,217 samples/s; the
     S*G-launch serialization it removes was already cheap), and wiring it
-    into the model made ``profile_step --only=full`` trip the external
-    schedule-dependent fault (kernels/lstm.py "Known issue" class;
-    reproducible; bench/CLI programs stayed clean; the kernel standalone
-    is clean at 1.04 ms/iter chained f+b). Default is therefore the G
-    single calls; ``MSA_INFONCE_MULTI=1`` opts into the stacked kernel."""
+    into the model made ``profile_step --only=full`` trip a
+    schedule-dependent device fault (the kernel standalone is clean at
+    1.04 ms/iter chained f+b; bench/CLI programs stayed clean).
+
+    Attribution update (re-tested on v5e 2026-08-19→20): the fault was
+    originally filed under the fused-LSTM c_seq class (kernels/lstm.py),
+    but the LSTM v8/v9 redesign removed that trigger structurally and
+    every production ablation now runs clean — while THIS kernel's
+    ``--only=full`` composition still crashes the TPU worker under v9.
+    The stacked kernel therefore carries its OWN latent
+    composition-dependent fault, independent of the (closed) LSTM class.
+    With no e2e win on the table it stays quarantined: default is the G
+    single calls; ``MSA_INFONCE_MULTI=1`` opts into the stacked kernel
+    (parity-tested in interpret mode, standalone-clean on hardware, NOT
+    safe in the full-model composition)."""
     if (_INFONCE_MULTI_OPTIN and _FUSED_INFONCE_ENABLED
             and jax.default_backend() == "tpu"):
         from ..kernels.contrastive import fused_supervised_infonce_multi
