@@ -50,11 +50,26 @@ MIN over ``REPS=3`` back-to-back invocations of the compiled multi-epoch
 program (state chains forward between invocations, so the tunnel cannot
 memoize and each window is a genuine re-execution). BENCH_r03 recorded
 ~10% run-to-run variance on a single-window bf16 number vs the same-day
-in-repo measurement; min-of-3 brings repeat-run agreement within ~3%.
+in-repo measurement; min-of-3 brings repeat-run agreement within ~3%
+(within ONE run the 3 windows agree within ~0.2-0.3%; the ~3% figure is
+run-to-run — different processes, different tunnel sessions).
 
 ``vs_baseline`` is the speedup over the 33.5 samples/s midpoint.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Result emission (round 5): the full JSON result line is printed and
+flushed IMMEDIATELY after the headline config, then RE-printed with the
+grown ``extra`` after every subsequent config — a consumer takes the
+LAST JSON line on stdout, so a driver timeout costs only the unreached
+extras, never the headline (BENCH_r04 was ``rc: 124, parsed: null``
+because round 4 printed once at the very end). A total wall-clock budget
+(``MSA_BENCH_BUDGET_S``, default 1500 s) is checked before every config
+after the headline; exceeded -> remaining configs are skipped with a
+logged note and recorded in ``extra["skipped"]``. Config order puts the
+reference-semantics early-stop program FIRST among the extras, before
+the batch-scaling deployment points.
+
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", "extra"};
+the last one is the result.
 """
 
 from __future__ import annotations
@@ -96,6 +111,65 @@ PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12}
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+# -- persistent-compile-cache observability (round-5 verdict item 2) --------
+# The builder's sessions measure 138 s -> 0.62 s warm-cache repeats, yet
+# every driver-environment compile in BENCH_r03/r04 paid 40-172 s. Make the
+# cache's state and per-compile effect visible so cold/unwritable/rekeyed
+# caches are diagnosable from the bench stderr alone.
+
+
+def _cache_dir() -> str | None:
+    if not _cache_on():
+        return None
+    from multimodal_sentiment_aanalysis_tpu.utils.compilation_cache import (
+        DEFAULT_CACHE_DIR,
+    )
+
+    return os.environ.get("MSA_COMPILE_CACHE_DIR") or DEFAULT_CACHE_DIR
+
+
+def _cache_state() -> tuple[int, int]:
+    """(entry count, total bytes) of the persistent cache dir."""
+    d = _cache_dir()
+    if not d or not os.path.isdir(d):
+        return 0, 0
+    n = b = 0
+    for f in os.listdir(d):
+        if f.endswith("-cache"):
+            n += 1
+            try:
+                b += os.path.getsize(os.path.join(d, f))
+            except OSError:
+                pass
+    return n, b
+
+
+def log_cache_header() -> None:
+    d = _cache_dir()
+    if d is None:
+        log("compile cache: DISABLED (MSA_COMPILE_CACHE=0)")
+        return
+    n, b = _cache_state()
+    writable = os.access(d, os.W_OK) if os.path.isdir(d) else False
+    log_cache_effect._last_n = n  # baseline for per-compile growth deltas
+    log(f"compile cache: dir={d} entries={n} size={b / 2**20:.0f}MiB "
+        f"writable={writable}")
+
+
+def log_cache_effect(tag: str, compile_s: float) -> None:
+    """Classify one compile as a cache hit or miss from its wall time and
+    whether the cache dir grew. A hit deserializes in <~5 s even over the
+    tunnel; a miss both takes long and (if the cache is writable) writes
+    new entries."""
+    n, _ = _cache_state()
+    grew = n - getattr(log_cache_effect, "_last_n", n)
+    log_cache_effect._last_n = n
+    verdict = "HIT" if compile_s < 5.0 else (
+        "MISS (persisted)" if grew > 0 else "MISS (not persisted)")
+    log(f"  cache[{tag}]: {verdict} compile={compile_s:.1f}s "
+        f"entries_now={n} (+{max(grew, 0)})")
 
 
 from multimodal_sentiment_aanalysis_tpu.utils.timing import host_sync as _sync
@@ -206,7 +280,9 @@ def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None,
     )
     t0 = time.perf_counter()
     compiled = fused.lower(*args).compile()
-    log(f"  compile: {time.perf_counter() - t0:.1f}s")
+    compile_s = time.perf_counter() - t0
+    log(f"  compile: {compile_s:.1f}s")
+    log_cache_effect(f"vloso_b{batch}", compile_s)
     step_flops = _train_step_flops(trainer)
 
     t0 = time.perf_counter()
@@ -241,31 +317,47 @@ def bench_fused_vloso(model_cls, ds, n_subjects, peak, compute_dtype=None,
 
 def bench_vloso_early_stop(model_cls, ds, n_subjects):
     """Throughput of the early-stop/plateau-LR fused program (per-epoch
-    held-out eval + (S,) schedule lanes inside the scan; es_patience set
-    above the window so no subject stops during the measurement — this
-    times the CONTROL overhead, not shortened training)."""
+    held-out eval + (S,) schedule lanes inside the scan), at the
+    REFERENCE'S schedule settings (patience 5, ``Trainer.py:107-117``).
+    Subjects that stop mid-window keep costing compute — a vmapped lane
+    freezes its updates, it doesn't leave the program — so the throughput
+    number times the control overhead regardless of when stops land, and
+    the run doubles as the stop-epoch-distribution record the reference's
+    ``train.txt`` 'Early stopping triggered' lines provide.
+
+    Returns (samples/sec, per-subject stop-epoch list: 0 = never
+    stopped within the run)."""
     import jax
 
     from multimodal_sentiment_aanalysis_tpu.train import VectorizedLOSOTrainer
 
     trainer = VectorizedLOSOTrainer(
         model_cls(), ds, n_subjects, 20, batch_size=BATCH,
-        early_stop=True, es_patience=10 * TIMED_EPOCHS,
+        early_stop=True,
     )
     t0 = time.perf_counter()
     trainer.train_epochs_fused(TIMED_EPOCHS)  # compile + warm-up
-    log(f"  compile + warm-up: {time.perf_counter() - t0:.1f}s")
+    warm_s = time.perf_counter() - t0
+    log(f"  compile + warm-up: {warm_s:.1f}s")
+    log_cache_effect("vloso_es", warm_s)
     elapsed = float("inf")
-    for r in range(REPS):
+    reps = 2
+    for r in range(reps):
         t0 = time.perf_counter()
-        tm = trainer.train_epochs_fused(TIMED_EPOCHS)
+        trainer.train_epochs_fused(TIMED_EPOCHS)
         _sync(trainer.params)
         elapsed = min(elapsed, time.perf_counter() - t0)
     n_train = trainer.train_idx.shape[1]
     sps = TIMED_EPOCHS * trainer.n_total * n_train / elapsed
     log(f"  {TIMED_EPOCHS} early-stop epochs x {trainer.n_total} models in "
-        f"{elapsed:.3f}s (min of {REPS}) -> {sps:.0f} samples/s")
-    return sps
+        f"{elapsed:.3f}s (min of {reps}) -> {sps:.0f} samples/s")
+    stop = [
+        int(e) for e in np.asarray(
+            jax.device_get(trainer.sched["stop_epoch"])
+        )[: trainer.n_subjects]
+    ]
+    log("  " + trainer.stop_report().replace("\n", "\n  "))
+    return sps, stop
 
 
 def bench_phased(model_cls, full_ds, n_subjects, ex_nums):
@@ -345,7 +437,9 @@ def bench_serving(trainer, ds, peak):
     lowered = build_serve_many(fwd).lower(plan())
     t0 = time.perf_counter()
     compiled = lowered.compile()
-    log(f"  compile: {time.perf_counter() - t0:.1f}s")
+    compile_s = time.perf_counter() - t0
+    log(f"  compile: {compile_s:.1f}s")
+    log_cache_effect("serving", compile_s)
     # per-batch FLOPs from the un-scanned forward (see _flops note). The
     # serving graph embeds Pallas custom calls (conv stem, and the LSTM
     # off-dispatch) that cost_analysis cannot see inside, so lower the
@@ -424,7 +518,8 @@ ONE_CONFIGS = {
     "vloso_bf16_b128": (128, "bfloat16", "bfloat16"),
     "vloso_fp32_b256": (256, None, None),
     "vloso_bf16_b256": (256, "bfloat16", "bfloat16"),
-    # manual probe tag (not in main()'s loop): bench.py --one=vloso_bf16_b512
+    # MFU-knee probe (round-5 verdict item 7): v9's segmented backward
+    # scales VMEM with its batch block Bb, not B, so B=512 is reachable.
     "vloso_bf16_b512": (512, "bfloat16", "bfloat16"),
 }
 
@@ -439,12 +534,14 @@ def run_one(tag: str) -> None:
     )
 
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    log_cache_header()
     ds, n_subjects, _ = _setup_data()
-    payload: dict[str, float] = {}
+    payload: dict = {}
     if tag == "vloso_fp32_es":
-        payload["vloso_fp32_es_samples_per_sec"] = round(
-            bench_vloso_early_stop(MultimodalTransformerModel, ds,
-                                   n_subjects), 1)
+        sps_es, stop = bench_vloso_early_stop(
+            MultimodalTransformerModel, ds, n_subjects)
+        payload["vloso_fp32_es_samples_per_sec"] = round(sps_es, 1)
+        payload["es_stop_epochs"] = stop
     else:
         b, cdt, mdt = ONE_CONFIGS[tag]
         sps_b, mfu_b, _ = bench_fused_vloso(
@@ -466,63 +563,86 @@ def main() -> None:
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")
+    log_cache_header()
     peak = PEAK_FLOPS.get(dev.device_kind)
+    budget = float(os.environ.get("MSA_BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
+
+    def remaining() -> float:
+        return budget - (time.perf_counter() - t_start)
 
     ds, n_subjects, ex_nums = _setup_data()
-    extra: dict[str, float] = {}
+    extra: dict = {}
+    skipped: list[str] = []
 
-    log("[1/7] fused vectorized-LOSO training, fp32 (headline)")
+    def emit(sps_fp32: float) -> None:
+        """Print the FULL result line now (flushed); the consumer takes the
+        LAST JSON line on stdout, so every re-emission supersedes the
+        previous one and a kill between configs costs only the unreached
+        extras (BENCH_r04 lesson: one print at the end lost the round)."""
+        if skipped:
+            extra["skipped"] = list(skipped)
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_loso_train_throughput_b64",
+                    "value": round(sps_fp32, 1),
+                    "unit": "samples/sec/chip",
+                    "vs_baseline": round(
+                        sps_fp32 / BASELINE_SAMPLES_PER_SEC, 2),
+                    "extra": extra,
+                }
+            ),
+            flush=True,
+        )
+
+    log("[1/8] fused vectorized-LOSO training, fp32 (headline)")
     sps_fp32, mfu_fp32, trainer = bench_fused_vloso(
         MultimodalTransformerModel, ds, n_subjects, peak
     )
     if mfu_fp32 is not None:
         extra["vloso_fp32_mfu_vs_bf16_peak"] = round(mfu_fp32, 4)
+    emit(sps_fp32)  # headline secured before anything else runs
 
     ev = trainer.evaluate()
     acc = float(ev["a_acc"].mean())
     log(f"  sanity eval: mean arousal acc {acc:.2%}")
     extra["vloso_fp32_sanity_arousal_acc"] = round(acc, 4)
+    emit(sps_fp32)
 
-    log("[2/7] fused vectorized-LOSO training, bf16 compute")
-    try:
-        sps_bf16, mfu_bf16, trainer16 = bench_fused_vloso(
-            MultimodalTransformerModel, ds, n_subjects, peak,
-            compute_dtype="bfloat16", moment_dtype="bfloat16",
-        )
-        extra["vloso_bf16_samples_per_sec"] = round(sps_bf16, 1)
-        if mfu_bf16 is not None:
-            extra["vloso_bf16_mfu"] = round(mfu_bf16, 4)
-        acc16 = float(trainer16.evaluate()["a_acc"].mean())
-        log(f"  sanity eval: mean arousal acc {acc16:.2%}")
-        extra["vloso_bf16_sanity_arousal_acc"] = round(acc16, 4)
-        del trainer16  # free the stacked params/moments before more configs
-    except Exception as e:  # never lose the headline to a secondary config
-        log(f"  bf16 config failed: {e!r}")
-    import gc
+    def over_budget(tag: str, need_s: float = 120.0) -> bool:
+        r = remaining()
+        if r < need_s:
+            log(f"  SKIP {tag}: {r:.0f}s left of {budget:.0f}s budget")
+            skipped.append(tag)
+            return True
+        return False
 
-    gc.collect()
-
-    # Batch-scaling + early-stop configs, each in its OWN subprocess:
-    # B=64 stays the reference-faithful headline; these publish the
-    # measured-better deployment points (and fp32 B=256 exercises the v8
-    # batch-blocked LSTM backward that replaced the scoped-VMEM cliff).
-    # Isolation matters — every config allocates its own 24-model
-    # params+moments, and accumulating them in one process was measured to
-    # RESOURCE_EXHAUST the chip's HBM from the B=256 config on
-    # (2026-08-19); a subprocess releases everything at exit and a failure
-    # cannot poison later configs. The persistent compile cache makes the
-    # re-init cheap on repeat runs.
+    # Secondary configs, each in its OWN subprocess (HBM isolation: every
+    # config allocates its own 24-model params+moments, and accumulating
+    # them in one process RESOURCE_EXHAUSTED the chip from the B=256
+    # config on, 2026-08-19; exit frees everything and a failure cannot
+    # poison later configs). ORDER: the early-stop program — the
+    # reference's actual training semantics (Trainer.py:107-117) — runs
+    # FIRST; the batch-scaling deployment extras follow; the B=512 knee
+    # probe, phased, and serving close. A budget exhaustion therefore
+    # drops deployment extras before reference-relevant numbers.
     import subprocess
 
-    for i, tag in enumerate((
+    subprocess_tags = (
+        "vloso_fp32_es",
         "vloso_fp32_b128", "vloso_bf16_b128", "vloso_fp32_b256",
-        "vloso_bf16_b256", "vloso_fp32_es",
-    )):
-        log(f"[{3 + (i == 4)}/7] isolated config {tag}")
+        "vloso_bf16_b256", "vloso_bf16_b512",
+    )
+    for i, tag in enumerate(subprocess_tags):
+        log(f"[{2 + i}/8] isolated config {tag}")
+        if over_budget(tag):
+            continue
         try:
             out = subprocess.run(
                 [sys.executable, __file__, f"--one={tag}"],
-                capture_output=True, text=True, timeout=2400,
+                capture_output=True, text=True,
+                timeout=max(remaining(), 60.0),
             )
             stderr_lines = out.stderr.splitlines()
             if out.returncode != 0 or not out.stdout.strip():
@@ -537,41 +657,59 @@ def main() -> None:
                 log(f"  {line}")
             payload = json.loads(out.stdout.strip().splitlines()[-1])
             extra.update(payload)
+            emit(sps_fp32)
         except Exception as e:
             log(f"  {tag} failed: {e!r}")
 
-    log("[5/7] vectorized phased-curriculum training (all subjects)")
-    try:
-        extra["phased_samples_per_sec"] = round(
-            bench_phased(MultimodalTransformerModel, ds, n_subjects, ex_nums), 1
-        )
-    except Exception as e:
-        log(f"  phased config failed: {e!r}")
+    # bf16 B=64 runs in-process (only 2 live trainers incl. the headline's,
+    # measured fine) so its trainer can sanity-eval without a re-setup.
+    log("[8/8] in-process configs: bf16, phased, serving")
+    if not over_budget("vloso_bf16"):
+        try:
+            sps_bf16, mfu_bf16, trainer16 = bench_fused_vloso(
+                MultimodalTransformerModel, ds, n_subjects, peak,
+                compute_dtype="bfloat16", moment_dtype="bfloat16",
+            )
+            extra["vloso_bf16_samples_per_sec"] = round(sps_bf16, 1)
+            if mfu_bf16 is not None:
+                extra["vloso_bf16_mfu"] = round(mfu_bf16, 4)
+            acc16 = float(trainer16.evaluate()["a_acc"].mean())
+            log(f"  sanity eval: mean arousal acc {acc16:.2%}")
+            extra["vloso_bf16_sanity_arousal_acc"] = round(acc16, 4)
+            del trainer16  # free the stacked params/moments
+            emit(sps_fp32)
+        except Exception as e:  # never lose earlier results to this config
+            log(f"  bf16 config failed: {e!r}")
+    import gc
 
-    log("[6/7] serving forward")
-    try:
-        lat_ms, serve_sps, serve_mfu, serve_sps16 = bench_serving(
-            trainer, ds, peak)
-        extra["serving_latency_ms_b64"] = round(lat_ms, 3)
-        extra["serving_samples_per_sec"] = round(serve_sps, 1)
-        if serve_mfu is not None:
-            extra["serving_mfu"] = round(serve_mfu, 4)
-        if serve_sps16 is not None:
-            extra["serving_bf16_b512_samples_per_sec"] = round(serve_sps16, 1)
-    except Exception as e:
-        log(f"  serving config failed: {e!r}")
+    gc.collect()
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_loso_train_throughput_b64",
-                "value": round(sps_fp32, 1),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(sps_fp32 / BASELINE_SAMPLES_PER_SEC, 2),
-                "extra": extra,
-            }
-        )
-    )
+    if not over_budget("phased"):
+        try:
+            extra["phased_samples_per_sec"] = round(
+                bench_phased(MultimodalTransformerModel, ds, n_subjects,
+                             ex_nums), 1
+            )
+            emit(sps_fp32)
+        except Exception as e:
+            log(f"  phased config failed: {e!r}")
+
+    if not over_budget("serving"):
+        try:
+            lat_ms, serve_sps, serve_mfu, serve_sps16 = bench_serving(
+                trainer, ds, peak)
+            extra["serving_latency_ms_b64"] = round(lat_ms, 3)
+            extra["serving_samples_per_sec"] = round(serve_sps, 1)
+            if serve_mfu is not None:
+                extra["serving_mfu"] = round(serve_mfu, 4)
+            if serve_sps16 is not None:
+                extra["serving_bf16_b512_samples_per_sec"] = round(
+                    serve_sps16, 1)
+        except Exception as e:
+            log(f"  serving config failed: {e!r}")
+
+    extra["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
+    emit(sps_fp32)
 
 
 if __name__ == "__main__":

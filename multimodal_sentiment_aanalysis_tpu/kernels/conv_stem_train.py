@@ -147,6 +147,34 @@ dispatch was fp32-only. The v2 full-lane layout flipped the verdict:
 same A/B 2026-08-17 gives all-fused **39.8k** vs no-stem 37.0k
 (+7.6%), so bf16 dispatch is now on by default
 (``enable_bf16_dispatch`` / ``MSA_FUSED_STEM_BF16=0`` reverts).
+
+**Roofline (r5, scripts/stem_roofline.py).** Complete bytes+FLOPs budget
+of the stem fwd+bwd at flagship shape (S=24 x B=64, T=585, fp32), per op
+as dispatched: forward 1.81 GB + 92 GFLOP -> 2.48 ms floor; backward
+3.73 GB + 184 GFLOP -> 5.09 ms floor; **total 5.4 GB / 276 GFLOP ->
+7.57 ms computed vs ~19.7 ms measured in-step** (2.6x). The stem is
+therefore NOT HBM-bound, and further traffic-elimination kernels cannot
+close the gap. Attribution of the 2.6x:
+
+- the fused stage kernels run ~3.5x above their own traffic floors
+  (stage1 1.78 ms vs 0.42, stage2 1.72 vs 0.56 standalone) because the
+  normalize + erf-GELU (A&S rational ~15 VPU ops/elem) + in-kernel PRNG
+  dropout + win-code pool body is VPU-ISSUE-bound — proven by the v1->v2
+  result above: doubling lane occupancy at identical bytes halved the
+  time. The erf chain is reference numerics (torch exact-erf GELU), so
+  the VPU work is irreducible without breaking parity.
+- the remaining ~6-7 ms sits in XLA's conv/stat/combine chain running
+  above its per-op floors + scheduling overhead on the 14-op graph —
+  the same overhead class the r3 compiler-knob A/B showed is not
+  reachable through exposed XLA options.
+
+Remaining traffic-elimination candidates were sized against this budget
+and are ALL below the ~1 ms e2e A/B noise floor: v4 two-pass backward
+~0.28 ms (rejected r3, above), storing winner values to skip the y
+re-read in bwd ~0.14 ms net, folding the stats reduce into the conv
+epilogue ~0.56 ms upper bound (impossible without fusing into XLA's
+conv anyway). Recorded as justified negatives per the in-situ
+compression lesson (CLAUDE.md).
 """
 
 from __future__ import annotations

@@ -47,16 +47,20 @@ DEFAULT_TARGET = (
 )
 
 #: Mitigation ladder from kernels/lstm.py (fault-class history), cheapest
-#: revert first: v9→v8 segmented backward, then v7→v6 backward split, then
-#: v6→v5 input projection, then the all-jnp LSTM, then every Pallas kernel
-#: off.
+#: revert first: the quarantined opt-in stacked-InfoNCE kernel off (its
+#: fault class is its own — ops/losses.py attribution note — and an
+#: inherited ``MSA_INFONCE_MULTI=1`` would otherwise poison every rung),
+#: then v9→v8 segmented backward, v7→v6 backward split, v6→v5 input
+#: projection, the all-jnp LSTM, and finally every Pallas kernel off.
 MITIGATION_LADDER: tuple[dict[str, str], ...] = (
     {},
-    {"MSA_LSTM_SEGBWD": "0"},
-    {"MSA_LSTM_BWDC": "0"},
-    {"MSA_LSTM_XPROJ": "0"},
-    {"MSA_FUSED_LSTM": "0"},
-    {"MSA_FUSED_LSTM": "0", "MSA_FUSED_STEM": "0", "MSA_FUSED_INFONCE": "0"},
+    {"MSA_INFONCE_MULTI": "0"},
+    {"MSA_INFONCE_MULTI": "0", "MSA_LSTM_SEGBWD": "0"},
+    {"MSA_INFONCE_MULTI": "0", "MSA_LSTM_BWDC": "0"},
+    {"MSA_INFONCE_MULTI": "0", "MSA_LSTM_XPROJ": "0"},
+    {"MSA_INFONCE_MULTI": "0", "MSA_FUSED_LSTM": "0"},
+    {"MSA_INFONCE_MULTI": "0", "MSA_FUSED_LSTM": "0",
+     "MSA_FUSED_STEM": "0", "MSA_FUSED_INFONCE": "0"},
 )
 
 
@@ -143,6 +147,8 @@ def apply_dispatch_env(env: Mapping[str, str]) -> None:
         _cst.enable_dispatch(False)
     if env.get("MSA_FUSED_INFONCE") == "0":
         _losses.enable_fused_infonce(False)
+    if env.get("MSA_INFONCE_MULTI") == "0":
+        _losses._INFONCE_MULTI_OPTIN = False
 
 
 def ensure_safe_dispatch(
