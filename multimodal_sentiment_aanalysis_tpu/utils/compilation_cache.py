@@ -5,13 +5,30 @@ minutes to compile (the ``bench.py`` headline program measured 422 s on
 2026-08-18). JAX's persistent compilation cache serializes the compiled
 executable client-side, keyed on the HLO fingerprint + compile options +
 runtime version, so a fresh process running the same program skips the
-compile entirely. Measured over the tunnel (scan-of-matmuls probe,
-2026-08-18): **138.0 s first process → 0.62 s second process** with a
-warm cache. The reference has no analog — its eager PyTorch graphs pay
-no compile — so this closes the one UX regression a reference user
-would feel when switching: repeated driver invocations (the reference
-workflow is re-running ``main.py`` per experiment) stop re-paying
-multi-minute compiles.
+compile entirely. Measured over the tunnel (scan-of-matmuls probes):
+**138.0 s first process → 0.62 s second process** (2026-08-18) and
+**182.6 s → 0.34 s** (2026-08-20, after the min-compile-time fix below).
+The reference has no analog — its eager PyTorch graphs pay no compile —
+so this closes the one UX regression a reference user would feel when
+switching: repeated driver invocations (the reference workflow is
+re-running ``main.py`` per experiment) stop re-paying multi-minute
+compiles.
+
+Two tunnel-specific findings shape the configuration (2026-08-20, round
+5 — the r3/r4 benchmark runs kept compiling cold despite this cache
+being on, and the bisection found):
+
+- **The min-compile-time gate must be 0 over axon.** The client-side
+  compile call returns in ~0.5 s (the server compiles asynchronously and
+  first execution blocks on it), so JAX's "only persist compiles slower
+  than N seconds" heuristic measured 0.48 s against a true 190 s compile
+  and skipped the write. See ``DEFAULT_MIN_COMPILE_SECS``.
+- **The tunnel also has a server-side compile cache** (a byte-identical
+  program re-submitted from a fresh process ran warm with ZERO
+  client-side entries). It is outside our control and its lifetime is
+  unknown (r4's driver compile took 46 s right after builder activity;
+  the same program took 376 s the next morning) — the client-side cache
+  is the one that durably survives, hence persist-everything.
 
 Wired into every CLI subcommand (``--no-compile-cache`` or
 ``MSA_COMPILE_CACHE=0`` opts out) and ``bench.py``.
@@ -33,8 +50,20 @@ DEFAULT_CACHE_DIR = os.path.join(
     "xla",
 )
 
-#: executables below this compile time are not worth the disk round-trip
-DEFAULT_MIN_COMPILE_SECS = 1.0
+#: Persist EVERY compile. The natural ">= 1 s" gate is a trap over the
+#: axon tunnel: the client-side ``backend.compile()`` RPC returns in
+#: ~0.5 s (the server compiles asynchronously; the real minutes are paid
+#: at first execution), so JAX's min-compile-time check measured 0.48 s
+#: on a program whose true compile took 190 s and silently skipped the
+#: write — which is why rounds 3/4 never hit the cache in the driver
+#: environment despite warmed builder sessions (diagnosed 2026-08-20:
+#: probe cold 182.6 s -> warm fresh-process 0.34 s once min=0; the AOT
+#: ``lower().compile()`` path probed to read AND write too, 273 s ->
+#: 10.7 s). The only entries that ever persisted before this fix were
+#: programs whose HLO serialization alone pushed the client call over
+#: 1 s (e.g. the 199 MB es-program entry). Disk growth is bounded by the
+#: LRU ``max_size_bytes`` cap.
+DEFAULT_MIN_COMPILE_SECS = 0.0
 
 #: on-disk cap; least-recently-used entries are evicted past it
 DEFAULT_MAX_SIZE_BYTES = 16 * 2**30
