@@ -222,6 +222,106 @@ def variables_from_torch_state_dict(
     return {"params": params, "batch_stats": batch_stats}
 
 
+# ---------------------------------------------------------------------------
+# SimCLR-family import (reference ``MultimodalModel.py:325-451``): the
+# pretrain/finetune stack saves three separate state_dicts (encoder,
+# projection head, classifier — reference ``train.py:141-205`` keeps them
+# as separate modules). Layouts pinned by
+# ``tests/test_reference_oracle.py::test_reference_simclr_stack_oracle``,
+# which drives the ACTUAL reference training code from these weights.
+# ---------------------------------------------------------------------------
+
+
+def _relu_bn_mlp(sd: Mapping[str, Any], prefix: str) -> tuple[dict, dict]:
+    """Reference Eye/PPS MLP: Sequential Linear(0) ReLU BN(2) Linear(3)
+    ReLU BN(5) (``MultimodalModel.py:325-354``). The flax twins wrap the
+    block in a ``_ReluBNMLP`` submodule named ``net`` (models/simclr.py),
+    so the tree nests one level below the torch attribute."""
+    params = {"net": {
+        "dense_0": _dense(sd, f"{prefix}.net.0"),
+        "bn_0": _bn_params(sd, f"{prefix}.net.2"),
+        "dense_1": _dense(sd, f"{prefix}.net.3"),
+        "bn_1": _bn_params(sd, f"{prefix}.net.5"),
+    }}
+    stats = {"net": {
+        "bn_0": _bn_stats(sd, f"{prefix}.net.2"),
+        "bn_1": _bn_stats(sd, f"{prefix}.net.5"),
+    }}
+    return params, stats
+
+
+def simclr_encoder_variables_from_torch_state_dict(
+    state_dict: Mapping[str, Any],
+) -> dict:
+    """Reference ``MultiModalEncoder.state_dict()`` -> flax variables for
+    :class:`..models.simclr.MultiModalEncoder` (``MultimodalModel.py:
+    357-406``: flagship EEG encoder + Eye/PPS MLPs + 8-head MHA fusion +
+    Linear/ReLU/BN fusion MLP)."""
+    from ..utils.checkpoint import strip_module_prefix
+
+    sd = strip_module_prefix(dict(state_dict))
+    eeg_p, eeg_s = _eeg_net(sd, "eeg_net")
+    eye_p, eye_s = _relu_bn_mlp(sd, "eye_net")
+    pps_p, pps_s = _relu_bn_mlp(sd, "pps_net")
+    params = {
+        "eeg_net": eeg_p,
+        "eye_net": eye_p,
+        "pps_net": pps_p,
+        "multihead_attn": _mha(sd, "multihead_attn"),
+        "fusion_dense": _dense(sd, "fusion_mlp.0"),
+        "fusion_bn": _bn_params(sd, "fusion_mlp.2"),
+    }
+    batch_stats = {
+        "eeg_net": eeg_s,
+        "eye_net": eye_s,
+        "pps_net": pps_s,
+        "fusion_bn": _bn_stats(sd, "fusion_mlp.2"),
+    }
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def simclr_projection_variables_from_torch_state_dict(
+    state_dict: Mapping[str, Any],
+) -> dict:
+    """Reference ``ProjectionHead.state_dict()`` (Sequential Linear(0)
+    ReLU BN(2) Dropout Linear(4) ReLU BN(6) Dropout Linear(8);
+    ``MultimodalModel.py:409-430``) -> flax variables for
+    :class:`..models.simclr.ProjectionHead`."""
+    from ..utils.checkpoint import strip_module_prefix
+
+    sd = strip_module_prefix(dict(state_dict))
+    params = {
+        "dense_0": _dense(sd, "net.0"),
+        "bn_0": _bn_params(sd, "net.2"),
+        "dense_1": _dense(sd, "net.4"),
+        "bn_1": _bn_params(sd, "net.6"),
+        "out": _dense(sd, "net.8"),
+    }
+    batch_stats = {
+        "bn_0": _bn_stats(sd, "net.2"),
+        "bn_1": _bn_stats(sd, "net.6"),
+    }
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def simclr_classifier_variables_from_torch_state_dict(
+    state_dict: Mapping[str, Any],
+) -> dict:
+    """Reference ``Classifier.state_dict()`` (shared Linear(0) ReLU
+    Dropout + two head Linears; ``MultimodalModel.py:432-451``) -> flax
+    variables for :class:`..models.simclr.Classifier`."""
+    from ..utils.checkpoint import strip_module_prefix
+
+    sd = strip_module_prefix(dict(state_dict))
+    return {
+        "params": {
+            "shared": _dense(sd, "shared.0"),
+            "fc_arousal": _dense(sd, "fc_arousal"),
+            "fc_valence": _dense(sd, "fc_valence"),
+        }
+    }
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """``torch.load`` a reference checkpoint file (``.pt``/``.pth``,
     a ``state_dict`` or a dict containing one) and convert it."""

@@ -44,20 +44,35 @@ def contrastive_pretrain(
     temperature: float = 0.1,
     seed: int = 42,
     verbose: bool = True,
+    init_variables: tuple[dict, dict] | None = None,
 ) -> tuple[dict, dict, list[float]]:
     """Pretrain encoder+projector on balanced pairs. Returns
-    (encoder_vars, projector_vars, per-epoch losses)."""
+    (encoder_vars, projector_vars, per-epoch losses).
+
+    ``init_variables``: optional ``(encoder_vars, projector_vars)`` to
+    start from instead of a fresh init — the migration bridge for
+    reference users' torch weights
+    (``models.torch_import.simclr_*_variables_from_torch_state_dict``)
+    and for resuming pretraining; exercised against the ACTUAL reference
+    trainer in ``tests/test_reference_oracle.py``."""
     host_rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
     init_key, dropout_key = jax.random.split(key)
 
     sample = {k: v[:2] for k, v in data.arrays.items()}
-    enc_vars = encoder.init(
-        {"params": init_key, "dropout": dropout_key},
-        sample["eeg"], sample["eye"], sample["pps"],
-    )
-    feat = encoder.apply(enc_vars, sample["eeg"], sample["eye"], sample["pps"])
-    proj_vars = projector.init(jax.random.key(seed + 1), feat)
+    if init_variables is not None:
+        enc_vars, proj_vars = (
+            jax.tree.map(jnp.asarray, dict(v)) for v in init_variables
+        )
+    else:
+        enc_vars = encoder.init(
+            {"params": init_key, "dropout": dropout_key},
+            sample["eeg"], sample["eye"], sample["pps"],
+        )
+        feat = encoder.apply(
+            enc_vars, sample["eeg"], sample["eye"], sample["pps"]
+        )
+        proj_vars = projector.init(jax.random.key(seed + 1), feat)
 
     params = strong_typed(
         {"enc": enc_vars["params"], "proj": proj_vars["params"]}
@@ -140,17 +155,26 @@ def finetune(
     batch_size: int = 64,
     seed: int = 42,
     verbose: bool = True,
+    init_classifier_vars: dict | None = None,
 ) -> tuple[dict, dict[str, float]]:
     """Train the classifier on frozen encoder features; returns
-    (classifier_vars, final test metrics)."""
+    (classifier_vars, final test metrics — incl. a ``loss_history``
+    list of per-epoch train losses).
+
+    ``init_classifier_vars``: optional classifier variables to start
+    from (reference torch-weight migration / resume; see
+    :func:`contrastive_pretrain`)."""
     host_rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
 
     sample = {k: v[:2] for k, v in train_data.arrays.items()}
-    feat = encoder.apply(
-        encoder_vars, sample["eeg"], sample["eye"], sample["pps"]
-    )
-    clf_vars = classifier.init(key, feat)
+    if init_classifier_vars is not None:
+        clf_vars = jax.tree.map(jnp.asarray, dict(init_classifier_vars))
+    else:
+        feat = encoder.apply(
+            encoder_vars, sample["eeg"], sample["eye"], sample["pps"]
+        )
+        clf_vars = classifier.init(key, feat)
     params = strong_typed(clf_vars["params"])
     tx = optax.adam(lr)
     opt_state = strong_typed(tx.init(params))
@@ -205,12 +229,14 @@ def finetune(
         return jax.tree.map(jnp.sum, ms)
 
     dropout_key = jax.random.key(seed + 2)
-    metrics: dict[str, float] = {}
+    metrics: dict[str, Any] = {}
+    loss_history: list[float] = []
     for epoch in range(num_epochs):
         plan_idx, plan_mask = train_data.epoch_plan(batch_size, host_rng)
         params, opt_state, dropout_key, avg = train_epoch(
             params, opt_state, dropout_key, train_data.arrays, plan_idx, plan_mask
         )
+        loss_history.append(float(avg))
         tp_idx, tp_mask = test_data.epoch_plan(batch_size, shuffle=False)
         totals = jax.device_get(
             eval_fn(params, test_data.arrays, tp_idx, tp_mask)
@@ -225,4 +251,5 @@ def finetune(
                 f"[Finetune Epoch {epoch + 1}] loss {float(avg):.4f} "
                 f"test arousal {metrics['a_acc']:.4f} valence {metrics['v_acc']:.4f}"
             )
+    metrics["loss_history"] = loss_history
     return {"params": params}, metrics

@@ -230,6 +230,186 @@ def test_reference_single_task_trainer_incompatible_as_shipped(
         trainer.train_epoch(1)
 
 
+@pytest.fixture(scope="module")
+def ref_train_mod():
+    """Import the real reference ``train.py`` (the SimCLR-stack trainers,
+    ``train.py:45-138``). Module-scope import is safe: its driver code is
+    under ``__main__``."""
+    if not os.path.isdir(REF_ROOT):
+        pytest.skip("reference tree not available")
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import train as ref_train
+    finally:
+        sys.path.remove(REF_ROOT)
+    return ref_train
+
+
+class _PlannedLoader:
+    """A loader the real reference trainers iterate that follows a
+    precomputed per-epoch batch plan: epoch e of the caller's loop gets
+    ``plans[e]`` (each row a batch of indices), so the torch side
+    consumes the IDENTICAL batch sequence the JAX engines draw from
+    their seeded host RNG."""
+
+    def __init__(self, plans, build):
+        self.plans, self.build, self._epoch = plans, build, 0
+
+    def __len__(self):
+        return self.plans[0].shape[0]
+
+    def __iter__(self):
+        plan = self.plans[min(self._epoch, len(self.plans) - 1)]
+        self._epoch += 1
+        for batch_idx in plan:
+            yield self.build(batch_idx)
+
+
+def test_reference_simclr_stack_oracle(ref, ref_train_mod, capfd):
+    """The real ``train.py`` SimCLR stack — ``contrastive_pretrain_trainer``
+    + ``finetune_trainer`` on the real ``MultiModalEncoder`` /
+    ``ProjectionHead`` / ``Classifier`` — vs ``train.simclr`` from the same
+    initial weights (via the ``simclr_*_variables_from_torch_state_dict``
+    importers) and identical batch plans. Per-epoch pretrain AND finetune
+    losses must track; final test accuracies must agree.
+
+    Controls: dropout zeroed on both sides; the reference encoder is set
+    ``.eval()`` before finetuning to align the rebuild's documented
+    deviation (the reference leaves it in train mode, mutating BN stats
+    during 'frozen' finetuning — ``train/simclr.py`` docstring)."""
+    import re
+
+    from multimodal_sentiment_aanalysis_tpu.data import (
+        DeviceDataset,
+        assemble_features,
+        build_contrastive_pairs,
+        make_synthetic_hci_data,
+    )
+    from multimodal_sentiment_aanalysis_tpu.data.pipeline import (
+        epoch_batch_indices,
+    )
+    from multimodal_sentiment_aanalysis_tpu.data.splits import loso_split
+    from multimodal_sentiment_aanalysis_tpu.models import simclr as jm
+    from multimodal_sentiment_aanalysis_tpu.models.torch_import import (
+        simclr_classifier_variables_from_torch_state_dict,
+        simclr_encoder_variables_from_torch_state_dict,
+        simclr_projection_variables_from_torch_state_dict,
+    )
+    from multimodal_sentiment_aanalysis_tpu.train.simclr import (
+        contrastive_pretrain,
+        finetune,
+    )
+
+    PRE_E, FT_E, SEED = 3, 3, 42
+    n_subj, ex = 9, 16  # train split 8*16 = 128 rows = 2 full batches
+    data = make_synthetic_hci_data(seed=42, n_subjects=n_subj, ex_nums=ex)
+    feats, _ = assemble_features(
+        data, ["eeg", "eye", "pps"], norm="Z_score", label_type="arousal"
+    )
+    la = np.asarray(data["arousal_label"]).reshape(-1).astype(np.int64)
+    lv = np.asarray(data["valence_label"]).reshape(-1).astype(np.int64)
+    tr, te = loso_split(n_subj, ex, 0)
+    d = {"eeg": feats["eeg"].astype(np.float32),
+         "eye": feats["eye"].astype(np.float32),
+         "pps": feats["pps"].astype(np.float32)}
+
+    pair_idx, pair_lab = build_contrastive_pairs(
+        la[tr], lv[tr], tr // ex, seed=3)
+    pair_idx = tr[pair_idx]  # split-local -> dataset rows
+    n_pairs = len(pair_idx)
+
+    # the exact plan streams the engines draw (each seeds its own
+    # default_rng(seed) and consumes one permutation per epoch)
+    rng_pre = np.random.default_rng(SEED)
+    pre_plans = [epoch_batch_indices(n_pairs, BATCH, rng_pre)[0]
+                 for _ in range(PRE_E)]
+    rng_ft = np.random.default_rng(SEED)
+    ft_plans = [epoch_batch_indices(len(tr), BATCH, rng_ft)[0]
+                for _ in range(FT_E)]
+
+    # ---- real reference modules, shared initial weights ------------------
+    torch.manual_seed(7)
+    renc = ref[0].MultiModalEncoder()
+    rproj = ref[0].ProjectionHead()
+    rclf = ref[0].Classifier()
+    for m in (renc, rproj, rclf):
+        _zero_dropout(m)
+    enc_vars = simclr_encoder_variables_from_torch_state_dict(
+        {k: v.detach().clone() for k, v in renc.state_dict().items()})
+    proj_vars = simclr_projection_variables_from_torch_state_dict(
+        {k: v.detach().clone() for k, v in rproj.state_dict().items()})
+    clf_vars = simclr_classifier_variables_from_torch_state_dict(
+        {k: v.detach().clone() for k, v in rclf.state_dict().items()})
+
+    T = torch.from_numpy
+
+    def pair_batch(bidx):
+        rows = pair_idx[bidx]
+        i1, i2 = rows[:, 0], rows[:, 1]
+        return (T(d["eeg"][i1]), T(d["eye"][i1]), T(d["pps"][i1]),
+                T(d["eeg"][i2]), T(d["eye"][i2]), T(d["pps"][i2]),
+                T(pair_lab[bidx]))
+
+    def row_batch(bidx):
+        return (T(d["eeg"][bidx]), T(d["eye"][bidx]), T(d["pps"][bidx]),
+                T(la[bidx]), T(lv[bidx]))
+
+    cpu = torch.device("cpu")
+    capfd.readouterr()  # drain
+    ref_train_mod.contrastive_pretrain_trainer(
+        renc, rproj, _PlannedLoader(pre_plans, pair_batch),
+        num_epochs=PRE_E, lr=1e-3, device=cpu,
+    )
+    renc.eval()  # align the documented frozen-finetune deviation
+    ref_train_mod.finetune_trainer(
+        renc, rclf, _PlannedLoader(ft_plans, row_batch),
+        [row_batch(te)], num_epochs=FT_E, lr=1e-4, device=cpu,
+    )
+    out = capfd.readouterr().out
+    t_pre = [float(x) for x in re.findall(r"Contrastive Loss: ([0-9.]+)", out)]
+    t_ft = [float(x) for x in re.findall(r"Finetune Loss: ([0-9.]+)", out)]
+    t_acc = re.findall(
+        r"Test Accuracy - Arousal: ([0-9.]+), Valence: ([0-9.]+)", out)[-1]
+    t_acc = (float(t_acc[0]), float(t_acc[1]))
+
+    # ---- this framework's engines from the imported weights --------------
+    full_ds = DeviceDataset({**{k: d[k] for k in ("eeg", "eye", "pps")},
+                             "arousal": la, "valence": lv})
+    enc = jm.MultiModalEncoder(dropout=0.0)
+    enc_out, _, j_pre = contrastive_pretrain(
+        enc, jm.ProjectionHead(dropout=0.0), full_ds, pair_idx, pair_lab,
+        num_epochs=PRE_E, lr=1e-3, batch_size=BATCH, seed=SEED,
+        verbose=False, init_variables=(enc_vars, proj_vars),
+    )
+    train_ds = DeviceDataset({k: d[k][tr] for k in ("eeg", "eye", "pps")}
+                             | {"arousal": la[tr], "valence": lv[tr]})
+    test_ds = DeviceDataset({k: d[k][te] for k in ("eeg", "eye", "pps")}
+                            | {"arousal": la[te], "valence": lv[te]})
+    _, j_metrics = finetune(
+        enc, enc_out, jm.Classifier(dropout=0.0), train_ds, test_ds,
+        num_epochs=FT_E, lr=1e-4, batch_size=BATCH, seed=SEED,
+        verbose=False, init_classifier_vars=clf_vars,
+    )
+    j_ft = j_metrics["loss_history"]
+
+    print(f"reference pretrain: {np.round(t_pre, 4)}")
+    print(f"rebuild   pretrain: {np.round(j_pre, 4)}")
+    print(f"reference finetune: {np.round(t_ft, 4)}")
+    print(f"rebuild   finetune: {np.round(j_ft, 4)}")
+    print(f"test acc: reference {t_acc} rebuild "
+          f"({j_metrics['a_acc']:.4f}, {j_metrics['v_acc']:.4f})")
+
+    assert len(t_pre) == len(j_pre) == PRE_E
+    assert len(t_ft) == len(j_ft) == FT_E
+    for i, (tl, jl) in enumerate(zip(t_pre, j_pre)):
+        assert abs(tl - jl) < 0.05 * max(abs(tl), 1.0), (i, t_pre, j_pre)
+    for i, (tl, jl) in enumerate(zip(t_ft, j_ft)):
+        assert abs(tl - jl) < 0.05 * max(abs(tl), 1.0), (i, t_ft, j_ft)
+    # 16-row held-out split: one row = 0.0625
+    assert abs(t_acc[0] - j_metrics["a_acc"]) <= 0.25
+    assert abs(t_acc[1] - j_metrics["v_acc"]) <= 0.25
+
+
 def test_reference_phased_trainer_oracle_trajectories(
     ref, split_data, tmp_path, monkeypatch
 ):
