@@ -322,6 +322,59 @@ def simclr_classifier_variables_from_torch_state_dict(
     }
 
 
+# ---------------------------------------------------------------------------
+# ME-MHACL family import (reference ``ME-MHACL/model.py:7-119``): per-modality
+# Conv1d/BN/ReLU stacks + GAP + Linear, 8-head MHA fusion with mean pooling.
+# The ProjectionHead/Classifier layouts are identical to the SimCLR family's
+# (same Sequential indices), so those importers are shared. Pinned by
+# ``tests/test_reference_oracle.py::test_reference_memhacl_oracle``.
+# ---------------------------------------------------------------------------
+
+
+def _conv_gap_stack(sd: Mapping[str, Any], prefix: str) -> tuple[dict, dict]:
+    """Reference conv encoder: Sequential of Conv1d/BN1d/ReLU repeats +
+    AdaptiveAvgPool1d + Flatten + Linear -> flax ``_ConvStack``
+    (models/memhacl.py) params/stats. Conv1d weights keep the torch
+    ``(out, in, k)`` layout (``models/eeg.py::conv1d`` consumes it)."""
+    conv_is: list[int] = []
+    lin_i = None
+    pat = re.compile(re.escape(prefix) + r"\.(\d+)\.weight$")
+    for k, v in sd.items():
+        m = pat.match(k)
+        if not m:
+            continue
+        i, a = int(m.group(1)), _a(v)
+        if a.ndim == 3:
+            conv_is.append(i)
+        elif a.ndim == 2:
+            lin_i = i
+    conv_is.sort()
+    params: dict = {"proj": _dense(sd, f"{prefix}.{lin_i}")}
+    stats: dict = {}
+    for j, (ci, bi) in enumerate(zip(conv_is, _bn_indices(sd, prefix))):
+        params[f"conv{j}_weight"] = _a(sd[f"{prefix}.{ci}.weight"])
+        params[f"conv{j}_bias"] = _a(sd[f"{prefix}.{ci}.bias"])
+        params[f"bn{j}"] = _bn_params(sd, f"{prefix}.{bi}")
+        stats[f"bn{j}"] = _bn_stats(sd, f"{prefix}.{bi}")
+    return params, stats
+
+
+def memhacl_encoder_variables_from_torch_state_dict(
+    state_dict: Mapping[str, Any],
+) -> dict:
+    """Reference ME-MHACL ``MultiModalEncoder.state_dict()`` -> flax
+    variables for :class:`..models.memhacl.MEMHACLEncoder`
+    (``ME-MHACL/model.py:7-74``)."""
+    from ..utils.checkpoint import strip_module_prefix
+
+    sd = strip_module_prefix(dict(state_dict))
+    params, batch_stats = {}, {}
+    for name in ("eeg_encoder", "eye_encoder", "phy_encoder"):
+        params[name], batch_stats[name] = _conv_gap_stack(sd, name)
+    params["multihead_attn"] = _mha(sd, "multihead_attn")
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """``torch.load`` a reference checkpoint file (``.pt``/``.pth``,
     a ``state_dict`` or a dict containing one) and convert it."""

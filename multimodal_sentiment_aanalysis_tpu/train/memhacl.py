@@ -39,17 +39,31 @@ def memhacl_pretrain(
     noise: tuple[float, float, float] = (0.01, 0.05, 0.05),
     seed: int = 0,
     verbose: bool = True,
+    init_variables: tuple[dict, dict] | None = None,
 ) -> tuple[dict, dict, list[float]]:
-    """Contrastive pretrain; returns (encoder_vars, projector_vars, losses)."""
+    """Contrastive pretrain; returns (encoder_vars, projector_vars, losses).
+
+    ``init_variables``: optional ``(encoder_vars, projector_vars)`` to start
+    from — the torch-weight migration bridge
+    (``models.torch_import.memhacl_encoder_variables_from_torch_state_dict``);
+    exercised against the real reference ``ME-MHACL/train.py`` in
+    ``tests/test_reference_oracle.py``."""
     host_rng = np.random.default_rng(seed)
     init_key = jax.random.key(seed)
 
     sample = {k: v[:2] for k, v in data.arrays.items()}
-    enc_vars = encoder.init(
-        init_key, sample["eeg"], sample["eye"], sample["pps"]
-    )
-    feat = encoder.apply(enc_vars, sample["eeg"], sample["eye"], sample["pps"])
-    proj_vars = projector.init(jax.random.key(seed + 1), feat)
+    if init_variables is not None:
+        enc_vars, proj_vars = (
+            jax.tree.map(jnp.asarray, dict(v)) for v in init_variables
+        )
+    else:
+        enc_vars = encoder.init(
+            init_key, sample["eeg"], sample["eye"], sample["pps"]
+        )
+        feat = encoder.apply(
+            enc_vars, sample["eeg"], sample["eye"], sample["pps"]
+        )
+        proj_vars = projector.init(jax.random.key(seed + 1), feat)
 
     params = strong_typed(
         {"enc": enc_vars["params"], "proj": proj_vars["params"]}
@@ -134,16 +148,24 @@ def memhacl_finetune(
     batch_size: int = 32,
     seed: int = 0,
     verbose: bool = True,
+    init_classifier_vars: dict | None = None,
 ) -> tuple[dict, dict, dict[str, float]]:
     """Joint encoder+classifier finetune; returns
-    (encoder_vars, classifier_vars, final val metrics)."""
+    (encoder_vars, classifier_vars, final val metrics — incl. a
+    ``loss_history`` list of per-epoch train losses).
+
+    ``init_classifier_vars``: optional classifier variables to start from
+    (torch-weight migration; see :func:`memhacl_pretrain`)."""
     host_rng = np.random.default_rng(seed)
 
-    sample = {k: v[:2] for k, v in train_data.arrays.items()}
-    feat = encoder.apply(
-        encoder_vars, sample["eeg"], sample["eye"], sample["pps"]
-    )
-    clf_vars = classifier.init(jax.random.key(seed + 3), feat)
+    if init_classifier_vars is not None:
+        clf_vars = jax.tree.map(jnp.asarray, dict(init_classifier_vars))
+    else:
+        sample = {k: v[:2] for k, v in train_data.arrays.items()}
+        feat = encoder.apply(
+            encoder_vars, sample["eeg"], sample["eye"], sample["pps"]
+        )
+        clf_vars = classifier.init(jax.random.key(seed + 3), feat)
 
     params = strong_typed(
         {"enc": encoder_vars["params"], "clf": clf_vars["params"]}
@@ -213,13 +235,15 @@ def memhacl_finetune(
         return jax.tree.map(jnp.sum, ms)
 
     key = jax.random.key(seed + 4)
-    metrics: dict[str, float] = {}
+    metrics: dict = {}
+    loss_history: list[float] = []
     for epoch in range(num_epochs):
         plan_idx, plan_mask = train_data.epoch_plan(batch_size, host_rng)
         params, batch_stats, opt_state, key, avg = train_epoch(
             params, batch_stats, opt_state, key,
             train_data.arrays, plan_idx, plan_mask,
         )
+        loss_history.append(float(avg))
         vp_idx, vp_mask = val_data.epoch_plan(batch_size, shuffle=False)
         totals = jax.device_get(
             eval_fn(params, batch_stats, val_data.arrays, vp_idx, vp_mask)
@@ -235,6 +259,7 @@ def memhacl_finetune(
                 f"{float(avg):.4f}, Val Acc Arousal: {metrics['a_acc']:.1%}, "
                 f"Val Acc Valence: {metrics['v_acc']:.1%}"
             )
+    metrics["loss_history"] = loss_history
     return (
         {"params": params["enc"], "batch_stats": batch_stats["enc"]},
         {"params": params["clf"]},

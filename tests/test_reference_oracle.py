@@ -472,3 +472,254 @@ def test_reference_phased_trainer_oracle_trajectories(
     for k in ("a_acc", "v_acc"):
         # 20-row held-out split: one row = 0.05
         assert abs(t_test[k] - j_test[k]) <= 0.2, (k, t_test, j_test)
+
+
+# ---------------------------------------------------------------------------
+# ME-MHACL: the real ``ME-MHACL/train.py`` script as the oracle
+# ---------------------------------------------------------------------------
+
+REF_MEMHACL = os.path.join(REF_ROOT, "ME-MHACL")
+
+
+@pytest.fixture(scope="module")
+def memhacl_mods():
+    """Import the real ME-MHACL ``model``/``data_loader`` modules."""
+    if not os.path.isdir(REF_MEMHACL):
+        pytest.skip("reference ME-MHACL tree not available")
+    sys.path.insert(0, REF_MEMHACL)
+    try:
+        import data_loader as dl_mod
+        import model as ref_model
+    finally:
+        sys.path.remove(REF_MEMHACL)
+    return ref_model, dl_mod
+
+
+def _memhacl_npys(tmp_path, n):
+    rng = np.random.default_rng(11)
+    arrays = {
+        "eeg_data.npy": (rng.normal(size=(n, 32, 585)) * 0.5).astype(
+            np.float32),
+        "eye_data.npy": rng.normal(size=(n, 38)).astype(np.float32),
+        "physio_data.npy": rng.normal(size=(n, 230)).astype(np.float32),
+        "labels.npy": rng.integers(0, 2, (n, 2)).astype(np.int64),
+    }
+    for name, a in arrays.items():
+        np.save(tmp_path / name, a)
+    return arrays
+
+
+def test_reference_memhacl_contrastive_dataset_broken_as_shipped(
+    memhacl_mods, tmp_path
+):
+    """The reference ``ContrastiveDataset`` is broken as shipped:
+    ``default_augment`` receives torch tensors from ``EmotionDataset``
+    and returns tensors (tensor + np array -> tensor), which
+    ``torch.from_numpy`` then rejects (``ME-MHACL/data_loader.py:73-85``).
+    The oracle below therefore patches the augment to return numpy —
+    documented here as the reference-broken path it sidesteps (the same
+    evidence pattern as the single-task trainer incompatibility above)."""
+    _, dl_mod = memhacl_mods
+    _memhacl_npys(tmp_path, 4)
+    ds = dl_mod.EmotionDataset(
+        str(tmp_path / "eeg_data.npy"), str(tmp_path / "eye_data.npy"),
+        str(tmp_path / "physio_data.npy"), str(tmp_path / "labels.npy"),
+    )
+    cds = dl_mod.ContrastiveDataset(ds)  # as-shipped default_augment
+    with pytest.raises(TypeError):
+        cds[0]
+
+
+def test_reference_memhacl_oracle(memhacl_mods, tmp_path, monkeypatch, capfd):
+    """The real ``ME-MHACL/train.py`` — the whole module-level script,
+    exec'd — vs ``train.memhacl`` from the same initial weights (via the
+    ``memhacl_encoder_variables_from_torch_state_dict`` importer; the
+    ProjectionHead/Classifier layouts are the SimCLR ones) and identical
+    batch plans. Per-epoch pretrain AND finetune train losses must track;
+    final val accuracies must agree.
+
+    Script-driving controls (each the minimal intervention to make the
+    as-shipped script runnable and comparable, none changing its logic):
+
+    - ``torchvision`` is stubbed into ``sys.modules`` (the script imports
+      ``transforms`` and never uses it; torchvision is not installed here);
+    - epochs are overridden 50->4 / 30->4 by source-constant replacement;
+    - ``DataLoader``/``random_split`` are monkeypatched so the script's
+      loaders follow the precomputed plans my engines draw from their
+      seeded host RNG (the ``_PlannedLoader`` pattern above), with
+      ``random_split`` made the deterministic 80/20 row split;
+    - ``default_augment`` is patched to the identity (returning numpy:
+      the shipped one is broken, see the companion test) and my pretrain
+      runs ``noise=(0, 0, 0)`` — torch/JAX augment RNG streams are
+      incommensurable, the same control as the dropout zeroing;
+    - dropout is zeroed by patching ``nn.Dropout`` for the exec's duration
+      (see inline note on why subclass-patching can't work here).
+    """
+    import math
+    import re
+    import types
+
+    import torch.utils.data as tud
+
+    from multimodal_sentiment_aanalysis_tpu.data.pipeline import (
+        DeviceDataset,
+        epoch_batch_indices,
+    )
+    from multimodal_sentiment_aanalysis_tpu.models import memhacl as mm
+    from multimodal_sentiment_aanalysis_tpu.models.torch_import import (
+        memhacl_encoder_variables_from_torch_state_dict,
+        simclr_classifier_variables_from_torch_state_dict,
+        simclr_projection_variables_from_torch_state_dict,
+    )
+    from multimodal_sentiment_aanalysis_tpu.train.memhacl import (
+        memhacl_finetune,
+        memhacl_pretrain,
+    )
+
+    ref_model, dl_mod = memhacl_mods
+    N, B, PRE_E, FT_E = 160, 32, 4, 4
+    N_TR = int(0.8 * N)  # 128 = 4 full batches; val 32 = 1 batch
+    arrays = _memhacl_npys(tmp_path, N)
+    monkeypatch.chdir(tmp_path)  # the script loads the .npy files from cwd
+
+    # the exact plan streams my engines draw (each seeds default_rng(0))
+    rng_pre = np.random.default_rng(0)
+    pre_plans = [epoch_batch_indices(N, B, rng_pre)[0] for _ in range(PRE_E)]
+    rng_ft = np.random.default_rng(0)
+    ft_plans = [epoch_batch_indices(N_TR, B, rng_ft)[0] for _ in range(FT_E)]
+
+    monkeypatch.setattr(
+        dl_mod, "default_augment",
+        lambda eeg, eye, phy, **kw: (eeg.numpy(), eye.numpy(), phy.numpy()),
+    )
+
+    # Dropout zeroing: the script constructs its modules internally, and
+    # subclass-patching the module attributes breaks the reference's
+    # Py2-style ``super(ProjectionHead, self)`` (it resolves the patched
+    # name -> infinite recursion). Patch ``nn.Dropout`` itself instead —
+    # every Dropout built during the exec is p=0; no RNG draws at init,
+    # so the weight streams stay aligned.
+    real_dropout = tnn.Dropout
+    monkeypatch.setattr(
+        torch.nn, "Dropout", lambda *a, **k: real_dropout(p=0.0)
+    )
+
+    def _collate(items):
+        cols = list(zip(*items))
+        return tuple(
+            torch.stack([torch.as_tensor(x) for x in c]) for c in cols
+        )
+
+    class _ScriptLoader:
+        """Stands in for ``DataLoader`` inside the exec'd script; yields
+        batches by the precomputed plans (contrastive set -> pre_plans,
+        shuffled Subset -> ft_plans, val -> sequential)."""
+
+        def __init__(self, dataset, batch_size=1, shuffle=False, **kw):
+            self.dataset, self.bs, self.shuffle = dataset, batch_size, shuffle
+            self._epoch = 0
+
+        def __len__(self):
+            return math.ceil(len(self.dataset) / self.bs)
+
+        def _plan(self):
+            if isinstance(self.dataset, dl_mod.ContrastiveDataset):
+                plans = pre_plans
+            elif self.shuffle:
+                plans = ft_plans
+            else:
+                n = len(self.dataset)
+                return np.arange(n).reshape(-1, self.bs)
+            plan = plans[min(self._epoch, len(plans) - 1)]
+            self._epoch += 1
+            return plan
+
+        def __iter__(self):
+            for row in self._plan():
+                yield _collate([self.dataset[int(i)] for i in row])
+
+    def _fixed_split(ds, sizes):
+        assert sizes == [N_TR, N - N_TR]
+        return (tud.Subset(ds, list(range(N_TR))),
+                tud.Subset(ds, list(range(N_TR, N))))
+
+    monkeypatch.setattr(tud, "DataLoader", _ScriptLoader)
+    monkeypatch.setattr(tud, "random_split", _fixed_split)
+    tv = types.ModuleType("torchvision")
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+
+    # shared initial weights: reseed, construct in the script's order
+    torch.manual_seed(7)
+    sds = []
+    for cls in (ref_model.MultiModalEncoder, ref_model.ProjectionHead,
+                ref_model.Classifier):
+        sds.append({k: v.detach().clone()
+                    for k, v in cls().state_dict().items()})
+    enc_sd, proj_sd, clf_sd = sds
+
+    src_path = os.path.join(REF_MEMHACL, "train.py")
+    with open(src_path) as f:
+        src = f.read()
+    assert "pretrain_epochs = 50" in src and "finetune_epochs = 30" in src
+    src = src.replace("pretrain_epochs = 50", f"pretrain_epochs = {PRE_E}")
+    src = src.replace("finetune_epochs = 30", f"finetune_epochs = {FT_E}")
+
+    torch.manual_seed(7)  # the script's model inits draw the same stream
+    sys.path.insert(0, REF_MEMHACL)
+    capfd.readouterr()  # drain
+    try:
+        exec(compile(src, src_path, "exec"), {"__name__": "ref_memhacl"})
+    finally:
+        sys.path.remove(REF_MEMHACL)
+    out = capfd.readouterr().out
+    t_pre = [float(x) for x in re.findall(r"Contrastive Loss: ([0-9.]+)", out)]
+    t_ft = [float(x) for x in re.findall(r"Train Loss: ([0-9.]+)", out)]
+    t_acc = re.findall(
+        r"Val Acc Arousal: ([0-9.]+)%, Val Acc Valence: ([0-9.]+)%", out)[-1]
+    t_acc = (float(t_acc[0]) / 100.0, float(t_acc[1]) / 100.0)
+
+    # ---- this framework's engines from the imported weights --------------
+    enc_vars = memhacl_encoder_variables_from_torch_state_dict(enc_sd)
+    proj_vars = simclr_projection_variables_from_torch_state_dict(proj_sd)
+    clf_vars = simclr_classifier_variables_from_torch_state_dict(clf_sd)
+
+    d = {"eeg": arrays["eeg_data.npy"], "eye": arrays["eye_data.npy"],
+         "pps": arrays["physio_data.npy"]}
+    la = arrays["labels.npy"][:, 0]
+    lv = arrays["labels.npy"][:, 1]
+    full = DeviceDataset(d | {"arousal": la, "valence": lv})
+    enc = mm.MEMHACLEncoder()
+    enc_out, _, j_pre = memhacl_pretrain(
+        enc, mm.ProjectionHead(dropout=0.0), full,
+        num_epochs=PRE_E, lr=1e-3, batch_size=B, temperature=0.5,
+        noise=(0.0, 0.0, 0.0), seed=0, verbose=False,
+        init_variables=(enc_vars, proj_vars),
+    )
+    trd = DeviceDataset({k: v[:N_TR] for k, v in d.items()}
+                        | {"arousal": la[:N_TR], "valence": lv[:N_TR]})
+    vald = DeviceDataset({k: v[N_TR:] for k, v in d.items()}
+                         | {"arousal": la[N_TR:], "valence": lv[N_TR:]})
+    _, _, m = memhacl_finetune(
+        enc, enc_out, mm.MEMHACLClassifier(dropout=0.0), trd, vald,
+        num_epochs=FT_E, lr=1e-4, batch_size=B, seed=0, verbose=False,
+        init_classifier_vars=clf_vars,
+    )
+    j_ft = m["loss_history"]
+
+    print(f"reference pretrain: {np.round(t_pre, 4)}")
+    print(f"rebuild   pretrain: {np.round(j_pre, 4)}")
+    print(f"reference finetune: {np.round(t_ft, 4)}")
+    print(f"rebuild   finetune: {np.round(j_ft, 4)}")
+    print(f"val acc: reference {t_acc} rebuild "
+          f"({m['a_acc']:.4f}, {m['v_acc']:.4f})")
+
+    assert len(t_pre) == len(j_pre) == PRE_E
+    assert len(t_ft) == len(j_ft) == FT_E
+    for i, (tl, jl) in enumerate(zip(t_pre, j_pre)):
+        assert abs(tl - jl) < 0.05 * max(abs(tl), 1.0), (i, t_pre, j_pre)
+    for i, (tl, jl) in enumerate(zip(t_ft, j_ft)):
+        assert abs(tl - jl) < 0.05 * max(abs(tl), 1.0), (i, t_ft, j_ft)
+    # 32-row val split: one row = 0.03125
+    assert abs(t_acc[0] - m["a_acc"]) <= 0.25
+    assert abs(t_acc[1] - m["v_acc"]) <= 0.25
