@@ -39,11 +39,6 @@ def _l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.nda
 _FUSED_INFONCE_ENABLED = os.environ.get("MSA_FUSED_INFONCE", "1") != "0"
 
 
-# Opt-in for the stacked multi-loss kernel (see supervised_infonce_multi's
-# routing note — defaults OFF after a measured e2e wash + a fault sighting)
-_INFONCE_MULTI_OPTIN = os.environ.get("MSA_INFONCE_MULTI", "0") == "1"
-
-
 def enable_fused_infonce(on: bool) -> bool:
     """Toggle the TPU fused-InfoNCE dispatch; returns the old value."""
     global _FUSED_INFONCE_ENABLED
@@ -123,33 +118,29 @@ def supervised_infonce_multi(
     Same numerics as G calls to :func:`supervised_infonce` on
     ``feats1[g], feats2[g]``, returned as a (G,) vector.
 
-    Routing (measured 2026-08-18): the one-launch stacked kernel
-    (:func:`..kernels.contrastive.fused_supervised_infonce_multi` — all G
-    losses x all vmapped models in ONE kernel, custom_vmap) is e2e NOISE
-    vs G single-kernel calls (bench fp32 37,309 vs 37,217 samples/s; the
-    S*G-launch serialization it removes was already cheap), and wiring it
-    into the model made ``profile_step --only=full`` trip a
-    schedule-dependent device fault (the kernel standalone is clean at
-    1.04 ms/iter chained f+b; bench/CLI programs stayed clean).
+    Routing — SETTLED as the G single calls (each dispatching the fused
+    single-loss kernel on TPU). A one-launch stacked alternative (all G
+    losses x all vmapped models in ONE kernel via ``custom_vmap``,
+    quarantined behind ``MSA_INFONCE_MULTI=1`` in rounds 3-4) was DELETED
+    in round 5 on two measured grounds (TPU v5e):
 
-    Attribution update (re-tested on v5e 2026-08-19→20): the fault was
-    originally filed under the fused-LSTM c_seq class (kernels/lstm.py),
-    but the LSTM v8/v9 redesign removed that trigger structurally and
-    every production ablation now runs clean — while THIS kernel's
-    ``--only=full`` composition still crashes the TPU worker under v9.
-    The stacked kernel therefore carries its OWN latent
-    composition-dependent fault, independent of the (closed) LSTM class.
-    With no e2e win on the table it stays quarantined: default is the G
-    single calls; ``MSA_INFONCE_MULTI=1`` opts into the stacked kernel
-    (parity-tested in interpret mode, standalone-clean on hardware, NOT
-    safe in the full-model composition)."""
-    if (_INFONCE_MULTI_OPTIN and _FUSED_INFONCE_ENABLED
-            and jax.default_backend() == "tpu"):
-        from ..kernels.contrastive import fused_supervised_infonce_multi
-
-        return fused_supervised_infonce_multi(
-            feats1, feats2, labels, temperature, mask
-        )
+    - e2e NOISE: bench fp32 37,309 vs 37,217 samples/s — the S*G-launch
+      serialization it removed was already cheap (2026-08-18);
+    - the device fault it tripped in the full-model composition
+      (``profile_step --only=full`` crashed the TPU worker) was NOT the
+      kernel's own. Hardware bisection 2026-08-20
+      (``scripts/repro_infonce_multi.py``): the production G-call default
+      runs clean; the stacked Pallas kernel crashed in BOTH launch
+      geometries (whole-array block and 8-group grid); the identical
+      batched restructure in PURE JNP — no Pallas in the contrastive
+      slice at all — crashed identically; and that same jnp restructure
+      ran clean with ``MSA_FUSED_LSTM=0``. The fault is the fused-LSTM
+      schedule-sensitivity family (``kernels/lstm.py`` "Device-fault
+      class"), re-triggered by restructuring the adjacent contrastive
+      graph — so no stacked variant, however implemented, is worth
+      carrying for a zero-throughput win. The preflight ladder's
+      LSTM rungs (``utils/preflight.py``) remain the designed mitigation
+      for this family."""
     return jnp.stack([
         supervised_infonce(feats1[g], feats2[g], labels, temperature, mask)
         for g in range(feats1.shape[0])

@@ -47,20 +47,21 @@ DEFAULT_TARGET = (
 )
 
 #: Mitigation ladder from kernels/lstm.py (fault-class history), cheapest
-#: revert first: the quarantined opt-in stacked-InfoNCE kernel off (its
-#: fault class is its own — ops/losses.py attribution note — and an
-#: inherited ``MSA_INFONCE_MULTI=1`` would otherwise poison every rung),
-#: then v9→v8 segmented backward, v7→v6 backward split, v6→v5 input
-#: projection, the all-jnp LSTM, and finally every Pallas kernel off.
+#: revert first: v9→v8 segmented backward, v7→v6 backward split, v6→v5
+#: input projection, the all-jnp LSTM, and finally every Pallas kernel
+#: off. (Rounds 3-4 carried an ``MSA_INFONCE_MULTI=0`` rung for a
+#: quarantined stacked-InfoNCE kernel; the r5 bisection attributed that
+#: fault to THIS ladder's LSTM family — the restructured contrastive
+#: graph crashed even in pure jnp, and ran clean with the fused LSTM off
+#: — and the stacked path was deleted, so the rung is gone with it.)
 MITIGATION_LADDER: tuple[dict[str, str], ...] = (
     {},
-    {"MSA_INFONCE_MULTI": "0"},
-    {"MSA_INFONCE_MULTI": "0", "MSA_LSTM_SEGBWD": "0"},
-    {"MSA_INFONCE_MULTI": "0", "MSA_LSTM_BWDC": "0"},
-    {"MSA_INFONCE_MULTI": "0", "MSA_LSTM_XPROJ": "0"},
-    {"MSA_INFONCE_MULTI": "0", "MSA_FUSED_LSTM": "0"},
-    {"MSA_INFONCE_MULTI": "0", "MSA_FUSED_LSTM": "0",
-     "MSA_FUSED_STEM": "0", "MSA_FUSED_INFONCE": "0"},
+    {"MSA_LSTM_SEGBWD": "0"},
+    {"MSA_LSTM_BWDC": "0"},
+    {"MSA_LSTM_XPROJ": "0"},
+    {"MSA_FUSED_LSTM": "0"},
+    {"MSA_FUSED_LSTM": "0", "MSA_FUSED_STEM": "0",
+     "MSA_FUSED_INFONCE": "0"},
 )
 
 
@@ -147,8 +148,6 @@ def apply_dispatch_env(env: Mapping[str, str]) -> None:
         _cst.enable_dispatch(False)
     if env.get("MSA_FUSED_INFONCE") == "0":
         _losses.enable_fused_infonce(False)
-    if env.get("MSA_INFONCE_MULTI") == "0":
-        _losses._INFONCE_MULTI_OPTIN = False
 
 
 def ensure_safe_dispatch(

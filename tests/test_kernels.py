@@ -57,62 +57,32 @@ class TestFusedInfoNCE:
         )
         np.testing.assert_allclose(float(gours_t), float(gref_t), rtol=1e-4)
 
-    def test_multi_parity_and_vmap(self, rng):
-        """The stacked multi-loss kernel (one launch for all losses x all
-        vmapped models) must match per-pair supervised_infonce, including
-        grads to features and temperature, plain and under vmap."""
-        from multimodal_sentiment_aanalysis_tpu.kernels.contrastive import (
-            fused_supervised_infonce_multi,
+    def test_gradient_parity_no_positive_rows(self, rng):
+        """Rows whose label is unique in the batch have zero positive mass
+        and route a REAL gradient through the forward's row-max
+        subtraction (the r_i/onehot-argmax term in ``_core_bwd``) —
+        dropping it deviated from autodiff by percent on such batches.
+        (This coverage previously rode in the deleted multi-kernel parity
+        test; pinned here directly.)"""
+        f = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+        # rows 0-3 have positives (two pairs); rows 4-15 are all unique
+        labels = jnp.asarray(
+            np.array([0, 0, 1, 1] + list(range(10, 22)), dtype=np.int32)
         )
-
-        G, B, F = 3, 24, 16
-        feats = jnp.asarray(rng.normal(size=(G, B, F)).astype(np.float32))
-        labels = jnp.asarray(rng.integers(0, 3, B))
-        mask = jnp.asarray((rng.random(B) > 0.3).astype(np.float32))
         t = jnp.asarray(0.05)
 
-        def ref_loss(feats, t):
-            return sum(
-                supervised_infonce(feats[g], feats[g], labels, t, mask)
-                * (g + 1.0)
-                for g in range(G)
-            )
+        def ref_loss(f, t):
+            return supervised_infonce(f, f, labels, t)
 
-        def ours_loss(feats, t):
-            c = fused_supervised_infonce_multi(feats, feats, labels, t, mask)
-            return sum(c[g] * (g + 1.0) for g in range(G))
+        def ours_loss(f, t):
+            return fused_supervised_infonce(f, f, labels, t)
 
+        gref_f, gref_t = jax.grad(ref_loss, argnums=(0, 1))(f, t)
+        gours_f, gours_t = jax.grad(ours_loss, argnums=(0, 1))(f, t)
         np.testing.assert_allclose(
-            float(ours_loss(feats, t)), float(ref_loss(feats, t)), rtol=1e-5
+            np.asarray(gours_f), np.asarray(gref_f), rtol=1e-4, atol=1e-6
         )
-        gr = jax.grad(ref_loss, argnums=(0, 1))(feats, t)
-        go = jax.grad(ours_loss, argnums=(0, 1))(feats, t)
-        np.testing.assert_allclose(np.asarray(go[0]), np.asarray(gr[0]),
-                                   rtol=1e-4, atol=1e-6)
-        np.testing.assert_allclose(float(go[1]), float(gr[1]), rtol=1e-4)
-
-        # vmapped over per-model feature stacks AND temperatures (the
-        # vectorized-LOSO composition: custom_vmap flattens S*G into one
-        # kernel launch)
-        S = 2
-        sf = jnp.stack([feats, feats * 0.5])
-        st = jnp.stack([t, t * 2.0])
-
-        def total_ours(sf, st):
-            return jnp.sum(jax.vmap(
-                lambda f, tt: ours_loss(f, tt))(sf, st))
-
-        def total_ref(sf, st):
-            return jnp.sum(jax.vmap(
-                lambda f, tt: ref_loss(f, tt))(sf, st))
-
-        np.testing.assert_allclose(
-            float(total_ours(sf, st)), float(total_ref(sf, st)), rtol=1e-5)
-        gr = jax.grad(total_ref, argnums=(0, 1))(sf, st)
-        go = jax.grad(total_ours, argnums=(0, 1))(sf, st)
-        for a, b in zip(gr, go):
-            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                       rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(float(gours_t), float(gref_t), rtol=1e-4)
 
     def test_jit_composes(self, rng):
         f = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
@@ -144,7 +114,6 @@ class TestFusedInfoNCE:
             np.asarray(g, np.float32), np.asarray(gref, np.float32),
             rtol=0.1, atol=0.02,  # bf16 cotangent rounding
         )
-
 
 class TestFlashMHA:
     @pytest.mark.parametrize(

@@ -110,33 +110,6 @@ def test_apply_dispatch_env_flips_all_switches():
                 os.environ[k] = v
 
 
-def test_ladder_neutralizes_inherited_infonce_multi():
-    """The quarantined stacked-InfoNCE opt-in (MSA_INFONCE_MULTI=1) has its
-    own fault class (ops/losses.py attribution note). Every non-empty rung
-    forces it off, so an inherited opt-in cannot poison the whole ladder
-    (round-4 advisor finding), and apply_dispatch_env flips the in-process
-    switch."""
-    from multimodal_sentiment_aanalysis_tpu.ops import losses
-
-    assert all(
-        rung.get("MSA_INFONCE_MULTI") == "0"
-        for rung in preflight.MITIGATION_LADDER[1:]
-    )
-    saved = losses._INFONCE_MULTI_OPTIN
-    saved_env = os.environ.get("MSA_INFONCE_MULTI")
-    try:
-        losses._INFONCE_MULTI_OPTIN = True
-        preflight.apply_dispatch_env({"MSA_INFONCE_MULTI": "0"})
-        assert losses._INFONCE_MULTI_OPTIN is False
-        assert os.environ["MSA_INFONCE_MULTI"] == "0"
-    finally:
-        losses._INFONCE_MULTI_OPTIN = saved
-        if saved_env is None:
-            os.environ.pop("MSA_INFONCE_MULTI", None)
-        else:
-            os.environ["MSA_INFONCE_MULTI"] = saved_env
-
-
 def test_cli_flag_wiring(monkeypatch):
     """--preflight runs ensure_safe_dispatch before the subcommand."""
     from multimodal_sentiment_aanalysis_tpu import cli
