@@ -118,6 +118,35 @@ def log(msg: str) -> None:
 # every driver-environment compile in BENCH_r03/r04 paid 40-172 s. Make the
 # cache's state and per-compile effect visible so cold/unwritable/rekeyed
 # caches are diagnosable from the bench stderr alone.
+#
+# HIT detection uses JAX's own monitoring events, not wall time: a cache
+# hit over the axon tunnel still ships the deserialized executable
+# (~150 MB for the fused LOSO program) through the relay and loads it
+# server-side, which measured 4.1 s on an idle box but 835 s when a
+# CPU-bound process contended the single host core (2026-08-21) — so a
+# slow compile does NOT imply a miss, and the r5 first-cut wall-time
+# classifier mislabeled exactly that case.
+
+
+def _install_cache_event_listener() -> None:
+    """Count '/jax/compilation_cache/cache_hits' monitoring events so
+    log_cache_effect can report true hits instead of inferring from
+    wall time."""
+    if getattr(_install_cache_event_listener, "_done", False):
+        return
+    _install_cache_event_listener._done = True
+    log_cache_effect._hits = 0
+    try:
+        from jax._src import monitoring
+
+        def _on_event(event: str, **kw) -> None:
+            if event == "/jax/compilation_cache/cache_hits":
+                log_cache_effect._hits += 1
+
+        monitoring.register_event_listener(_on_event)
+    except Exception as e:  # pragma: no cover - jax internals moved
+        log(f"  cache event listener unavailable ({e!r}); "
+            "falling back to entry-growth-only classification")
 
 
 def _cache_dir() -> str | None:
@@ -154,20 +183,32 @@ def log_cache_header() -> None:
     n, b = _cache_state()
     writable = os.access(d, os.W_OK) if os.path.isdir(d) else False
     log_cache_effect._last_n = n  # baseline for per-compile growth deltas
+    _install_cache_event_listener()
     log(f"compile cache: dir={d} entries={n} size={b / 2**20:.0f}MiB "
         f"writable={writable}")
 
 
 def log_cache_effect(tag: str, compile_s: float) -> None:
-    """Classify one compile as a cache hit or miss from its wall time and
-    whether the cache dir grew. A hit deserializes in <~5 s even over the
-    tunnel; a miss both takes long and (if the cache is writable) writes
-    new entries."""
+    """Classify one compile as a cache hit or miss. Hits are counted from
+    JAX's monitoring events (ground truth); entry-count growth shows
+    whether a miss persisted its executable. Wall time is reported but
+    never used to classify — a tunnel hit still pays executable shipping
+    + server load, which is seconds idle but can reach minutes under
+    host-CPU contention."""
     n, _ = _cache_state()
     grew = n - getattr(log_cache_effect, "_last_n", n)
     log_cache_effect._last_n = n
-    verdict = "HIT" if compile_s < 5.0 else (
-        "MISS (persisted)" if grew > 0 else "MISS (not persisted)")
+    hits = getattr(log_cache_effect, "_hits", 0)
+    hit_delta = hits - getattr(log_cache_effect, "_last_hits", 0)
+    log_cache_effect._last_hits = hits
+    if hit_delta > 0 and grew == 0:
+        verdict = f"HIT ({hit_delta} cached programs)"
+    elif hit_delta > 0:
+        verdict = f"PARTIAL ({hit_delta} hits, {grew} new entries)"
+    elif grew > 0:
+        verdict = "MISS (persisted)"
+    else:
+        verdict = "MISS (not persisted)"
     log(f"  cache[{tag}]: {verdict} compile={compile_s:.1f}s "
         f"entries_now={n} (+{max(grew, 0)})")
 

@@ -14,21 +14,37 @@ switching: repeated driver invocations (the reference workflow is
 re-running ``main.py`` per experiment) stop re-paying multi-minute
 compiles.
 
-Two tunnel-specific findings shape the configuration (2026-08-20, round
-5 — the r3/r4 benchmark runs kept compiling cold despite this cache
-being on, and the bisection found):
+Three tunnel-specific findings shape the configuration (2026-08-20/21,
+round 5 — the r3/r4 benchmark runs kept compiling cold despite this
+cache being on, and the bisection found):
 
 - **The min-compile-time gate must be 0 over axon.** The client-side
-  compile call returns in ~0.5 s (the server compiles asynchronously and
-  first execution blocks on it), so JAX's "only persist compiles slower
-  than N seconds" heuristic measured 0.48 s against a true 190 s compile
-  and skipped the write. See ``DEFAULT_MIN_COMPILE_SECS``.
+  compile call returns in ~0.5 s for dispatch-path jits (the server
+  compiles asynchronously and first execution blocks on it), so JAX's
+  "only persist compiles slower than N seconds" heuristic measured
+  0.48 s against a true 190 s compile and skipped the write. See
+  ``DEFAULT_MIN_COMPILE_SECS``. (AOT ``lower().compile()`` blocks for
+  the full server compile and was never affected.)
+- **A tunnel cache hit is NOT free — it re-ships the executable.** The
+  client-side hit deserializes the stored executable (~150 MB for the
+  fused LOSO program) and loads it through the relay to the server.
+  Idle-box hit cost for that program: **4.1 s** vs a 772–835 s cold
+  compile (measured 2026-08-21). But the relay is a single-threaded
+  Python process: with a CPU-bound job contending the one host core,
+  the SAME hit measured 835 s — indistinguishable from a cold compile
+  by wall time alone. Classify hits via JAX's
+  ``/jax/compilation_cache/cache_hits`` monitoring event (see
+  ``bench.log_cache_effect``), never via timing; and never run
+  CPU-heavy work next to a benched process. Writes are synchronous
+  inside the compile path — persisting the 150 MB entry added ~2 min
+  to the cold headline compile's wall clock.
 - **The tunnel also has a server-side compile cache** (a byte-identical
   program re-submitted from a fresh process ran warm with ZERO
   client-side entries). It is outside our control and its lifetime is
   unknown (r4's driver compile took 46 s right after builder activity;
-  the same program took 376 s the next morning) — the client-side cache
-  is the one that durably survives, hence persist-everything.
+  the same program took 376 s the next morning, and 772 s cold on
+  2026-08-21) — the client-side cache is the one that durably
+  survives, hence persist-everything.
 
 Wired into every CLI subcommand (``--no-compile-cache`` or
 ``MSA_COMPILE_CACHE=0`` opts out) and ``bench.py``.
